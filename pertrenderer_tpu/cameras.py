@@ -1,0 +1,177 @@
+"""Differentiable perspective cameras.
+
+TPU-native equivalent of the PyTorch3D camera surface the reference consumes:
+``OpenGLPerspectiveCameras`` and ``look_at_view_transform``
+(`/root/reference/experiments/eval.py:255-263,444-447`,
+`/root/reference/randomras/random_rasterizer.py:111-112,152-153`).
+
+Conventions (matching PyTorch3D so the reference's scene setups transfer 1:1):
+  * world/view space: +X left, +Y up, +Z into the screen (camera looks at +Z),
+  * row-vector transforms: ``x_view = x_world @ R + T``,
+  * NDC: x in [-1, 1] with +x pointing LEFT in the image, +y UP; the top-left
+    image pixel therefore maps to NDC (+1, +1),
+  * the rasterizer consumes projected NDC x/y but VIEW-SPACE depth z (this is
+    why the reference aggregates with znear=1, zfar=100 view-space bounds at
+    `/root/reference/randomras/smoothagg.py:175`).
+
+``look_at_view_transform`` is differentiable w.r.t. dist/elev/azim — required
+by the scene-parameter optimization loop
+(`/root/reference/experiments/eval.py:443-447`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = [
+    "PerspectiveCameras",
+    "OpenGLPerspectiveCameras",
+    "look_at_rotation",
+    "look_at_view_transform",
+]
+
+
+def _to_batched_scalar(x, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    x = jnp.asarray(x, dtype=dtype)
+    return jnp.broadcast_to(jnp.atleast_1d(x), (n,))
+
+
+@struct.dataclass
+class PerspectiveCameras:
+    """Batch of FoV perspective cameras (a pytree; all fields are arrays).
+
+    Attributes:
+      R: (N, 3, 3) world-to-view rotations (row-vector convention).
+      T: (N, 3) world-to-view translations.
+      fov: (N,) vertical field of view in degrees.
+      znear, zfar: (N,) view-space depth bounds.
+      aspect_ratio: (N,) width / height aspect.
+    """
+
+    R: jnp.ndarray
+    T: jnp.ndarray
+    fov: jnp.ndarray
+    znear: jnp.ndarray
+    zfar: jnp.ndarray
+    aspect_ratio: jnp.ndarray
+
+    @classmethod
+    def create(cls, R=None, T=None, fov=60.0, znear=1.0, zfar=100.0,
+               aspect_ratio=1.0) -> "PerspectiveCameras":
+        if R is None:
+            R = jnp.eye(3)[None]
+        R = jnp.asarray(R, jnp.float32)
+        if R.ndim == 2:
+            R = R[None]
+        n = R.shape[0]
+        if T is None:
+            T = jnp.zeros((n, 3))
+        T = jnp.asarray(T, jnp.float32)
+        if T.ndim == 1:
+            T = T[None]
+        return cls(
+            R=R,
+            T=T,
+            fov=_to_batched_scalar(fov, n),
+            znear=_to_batched_scalar(znear, n),
+            zfar=_to_batched_scalar(zfar, n),
+            aspect_ratio=_to_batched_scalar(aspect_ratio, n),
+        )
+
+    @property
+    def batch_size(self) -> int:
+        return self.R.shape[0]
+
+    def camera_center(self) -> jnp.ndarray:
+        """World-space camera positions (N, 3): C = -T @ R^T."""
+        return -jnp.einsum("nj,nkj->nk", self.T, self.R)
+
+    def transform_points_view(self, points: jnp.ndarray) -> jnp.ndarray:
+        """World -> view. points: (N, P, 3)."""
+        return points @ self.R + self.T[:, None, :]
+
+    def project_view_to_ndc(self, points_view: jnp.ndarray) -> jnp.ndarray:
+        """View -> (x_ndc, y_ndc, z_view). points_view: (N, P, 3).
+
+        Perspective projection with focal s = 1 / tan(fov/2); depth is passed
+        through unchanged (view-space z), matching the screen-space layout the
+        PyTorch3D mesh rasterizer feeds its kernel.
+        """
+        s = 1.0 / jnp.tan(0.5 * jnp.deg2rad(self.fov))  # (N,)
+        z = points_view[..., 2]
+        safe_z = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+        x_ndc = s[:, None] / self.aspect_ratio[:, None] * points_view[..., 0] / safe_z
+        y_ndc = s[:, None] * points_view[..., 1] / safe_z
+        return jnp.stack([x_ndc, y_ndc, z], axis=-1)
+
+    def transform_points_ndc(self, points_world: jnp.ndarray) -> jnp.ndarray:
+        """World -> (x_ndc, y_ndc, z_view)."""
+        return self.project_view_to_ndc(self.transform_points_view(points_world))
+
+
+# The reference constructs OpenGLPerspectiveCameras(fov=60 default); keep the
+# name as an alias so its scene code ports verbatim.
+OpenGLPerspectiveCameras = PerspectiveCameras
+
+
+def look_at_rotation(camera_position: jnp.ndarray, at=None, up=None) -> jnp.ndarray:
+    """Rotation matrices (N, 3, 3) for cameras at ``camera_position`` looking
+    at ``at`` with ``up`` as the approximate up direction.
+
+    Columns of R are the camera x/y/z axes expressed in world coordinates so
+    that x_view = (x_world - C) @ R.
+    """
+    camera_position = jnp.atleast_2d(jnp.asarray(camera_position, jnp.float32))
+    n = camera_position.shape[0]
+    at = jnp.broadcast_to(
+        jnp.asarray((0.0, 0.0, 0.0) if at is None else at, jnp.float32), (n, 3)
+    )
+    up = jnp.broadcast_to(
+        jnp.asarray((0.0, 1.0, 0.0) if up is None else up, jnp.float32), (n, 3)
+    )
+
+    def _norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+
+    z_axis = _norm(at - camera_position)
+    x_axis = jnp.cross(up, z_axis)
+    # Degenerate case: up parallel to viewing direction -> pick a fallback.
+    x_norm = jnp.linalg.norm(x_axis, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), x_axis.shape)
+    x_axis = jnp.where(x_norm < 1e-6, fallback, x_axis)
+    x_axis = _norm(x_axis)
+    y_axis = _norm(jnp.cross(z_axis, x_axis))
+    return jnp.stack([x_axis, y_axis, z_axis], axis=-1)
+
+
+def look_at_view_transform(
+    dist=1.0, elev=0.0, azim=0.0, degrees: bool = True, at=None, up=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera (R, T) from spherical coordinates, differentiable in all inputs.
+
+    dist/elev/azim broadcast against each other to a common batch (N,).
+    With elev=azim=0 the camera sits at (0, 0, dist) looking at the origin.
+    """
+    dist = jnp.atleast_1d(jnp.asarray(dist, jnp.float32))
+    elev = jnp.atleast_1d(jnp.asarray(elev, jnp.float32))
+    azim = jnp.atleast_1d(jnp.asarray(azim, jnp.float32))
+    n = max(dist.shape[0], elev.shape[0], azim.shape[0])
+    dist = jnp.broadcast_to(dist, (n,))
+    elev = jnp.broadcast_to(elev, (n,))
+    azim = jnp.broadcast_to(azim, (n,))
+    if degrees:
+        elev = jnp.deg2rad(elev)
+        azim = jnp.deg2rad(azim)
+    at_arr = jnp.broadcast_to(
+        jnp.asarray((0.0, 0.0, 0.0) if at is None else at, jnp.float32), (n, 3)
+    )
+    x = dist * jnp.cos(elev) * jnp.sin(azim)
+    y = dist * jnp.sin(elev)
+    z = dist * jnp.cos(elev) * jnp.cos(azim)
+    camera_position = jnp.stack([x, y, z], axis=-1) + at_arr
+    R = look_at_rotation(camera_position, at=at_arr, up=up)
+    T = -jnp.einsum("nj,njk->nk", camera_position, R)
+    return R, T

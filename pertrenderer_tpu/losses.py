@@ -1,0 +1,151 @@
+"""Mesh regularization losses and point-cloud metrics.
+
+Re-implements the PyTorch3D loss surface the reference imports
+(`/root/reference/experiments/eval.py:26-31`): ``mesh_laplacian_smoothing``
+(the only one exercised, at eval.py:455), ``mesh_edge_loss``,
+``mesh_normal_consistency``, ``chamfer_distance`` and the ``knn_points``
+primitive behind it.  All are jit-compatible with static mesh topology;
+chamfer/knn use dense pairwise distances (MXU-friendly batched matmuls
+rather than a spatial-index kernel — the right TPU trade at these scales).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "mesh_laplacian_smoothing", "mesh_edge_loss",
+    "mesh_normal_consistency", "chamfer_distance", "knn_points",
+]
+
+
+def mesh_laplacian_smoothing(meshes, method: str = "uniform") -> jnp.ndarray:
+    """Uniform Laplacian smoothing: mean_v || mean_{u in N(v)} u - v ||.
+
+    Matches PyTorch3D's ``mesh_laplacian_smoothing(..., method="uniform")``
+    used as the deform regularizer at `/root/reference/experiments/eval.py:455`.
+    """
+    if method != "uniform":
+        raise NotImplementedError("only the uniform Laplacian is supported")
+    verts = meshes.verts                    # (N, V, 3)
+    faces = jnp.maximum(meshes.faces, 0)    # (N, F, 3)
+    fmask = meshes.faces_mask()             # (N, F)
+    v_count = verts.shape[1]
+
+    def _one(verts_n, faces_n, fmask_n, nv):
+        # Each face contributes its 3 undirected edges in both directions.
+        src = jnp.concatenate([faces_n[:, 0], faces_n[:, 1], faces_n[:, 1],
+                               faces_n[:, 2], faces_n[:, 2], faces_n[:, 0]])
+        dst = jnp.concatenate([faces_n[:, 1], faces_n[:, 0], faces_n[:, 2],
+                               faces_n[:, 1], faces_n[:, 0], faces_n[:, 2]])
+        w = jnp.tile(fmask_n.astype(verts_n.dtype), 6)
+        # Each undirected edge appears in exactly 2 faces of a closed mesh;
+        # weight 0.5 halves the double count (any residual multiplicity
+        # cancels in the neighbor *mean*).
+        acc = jax.ops.segment_sum(w[:, None] * verts_n[dst], src,
+                                  num_segments=v_count)
+        deg = jax.ops.segment_sum(w, src, num_segments=v_count)
+        mean_nb = acc / jnp.maximum(deg, 1.0)[:, None]
+        lap = mean_nb - verts_n
+        norm = jnp.linalg.norm(lap, axis=-1)
+        valid = (deg > 0).astype(norm.dtype)
+        return jnp.sum(norm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    per_mesh = jax.vmap(_one)(verts, faces, fmask, meshes.num_verts)
+    return jnp.mean(per_mesh)
+
+
+def mesh_edge_loss(meshes, target_length: float = 0.0) -> jnp.ndarray:
+    """Mean squared deviation of edge lengths from ``target_length``
+    (PyTorch3D ``mesh_edge_loss``)."""
+    verts = meshes.verts
+    faces = jnp.maximum(meshes.faces, 0)
+    fmask = meshes.faces_mask().astype(verts.dtype)
+
+    def _one(verts_n, faces_n, fmask_n):
+        v0, v1, v2 = (verts_n[faces_n[:, i]] for i in range(3))
+        lengths = jnp.stack([
+            jnp.linalg.norm(v0 - v1, axis=-1),
+            jnp.linalg.norm(v1 - v2, axis=-1),
+            jnp.linalg.norm(v2 - v0, axis=-1),
+        ])  # (3, F); each undirected edge counted twice on closed meshes —
+        # a constant factor absorbed by the mean.
+        sq = (lengths - target_length) ** 2 * fmask_n[None]
+        return jnp.sum(sq) / jnp.maximum(3.0 * jnp.sum(fmask_n), 1.0)
+
+    return jnp.mean(jax.vmap(_one)(verts, faces, fmask))
+
+
+def mesh_normal_consistency(meshes) -> jnp.ndarray:
+    """Mean (1 - cos) between normals of faces sharing an edge
+    (PyTorch3D ``mesh_normal_consistency``), computed jit-compatibly by
+    sorting canonical edge keys and pairing equal neighbors."""
+    verts = meshes.verts
+    faces = jnp.maximum(meshes.faces, 0)
+    fmask = meshes.faces_mask()
+    v_count = verts.shape[1]
+
+    def _one(verts_n, faces_n, fmask_n):
+        normals = jnp.cross(
+            verts_n[faces_n[:, 1]] - verts_n[faces_n[:, 0]],
+            verts_n[faces_n[:, 2]] - verts_n[faces_n[:, 0]],
+        )
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        f = faces_n.shape[0]
+        e = jnp.stack([
+            jnp.stack([faces_n[:, 0], faces_n[:, 1]], -1),
+            jnp.stack([faces_n[:, 1], faces_n[:, 2]], -1),
+            jnp.stack([faces_n[:, 2], faces_n[:, 0]], -1),
+        ], 0).reshape(-1, 2)                                    # (3F, 2)
+        lo = jnp.minimum(e[:, 0], e[:, 1])
+        hi = jnp.maximum(e[:, 0], e[:, 1])
+        key = lo.astype(jnp.int64) * (v_count + 1) + hi
+        face_of_edge = jnp.tile(jnp.arange(f), 3)
+        valid = jnp.tile(fmask_n, 3)
+        key = jnp.where(valid, key, jnp.iinfo(jnp.int64).max)
+        order = jnp.argsort(key)
+        key_s = key[order]
+        face_s = face_of_edge[order]
+        pair = key_s[1:] == key_s[:-1]
+        n1 = normals[face_s[:-1]]
+        n2 = normals[face_s[1:]]
+        cos = jnp.sum(n1 * n2, axis=-1)
+        term = (1.0 - cos) * pair.astype(cos.dtype)
+        return jnp.sum(term) / jnp.maximum(jnp.sum(pair), 1.0)
+
+    return jnp.mean(jax.vmap(_one)(verts, faces, fmask))
+
+
+def _pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(P1, D) x (P2, D) -> (P1, P2) squared distances via a single matmul
+    (MXU path)."""
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)
+    yy = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = x @ y.T
+    return jnp.maximum(xx - 2.0 * xy + yy.T, 0.0)
+
+
+def knn_points(p1: jnp.ndarray, p2: jnp.ndarray, K: int = 1):
+    """K nearest neighbors of each p1 point in p2.
+
+    p1: (N, P1, D); p2: (N, P2, D).  Returns (dists (N, P1, K) squared,
+    idx (N, P1, K)) — the PyTorch3D ``knn_points`` surface
+    (imported by the reference's chamfer at eval.py:26).
+    """
+    def _one(a, b):
+        d = _pairwise_sqdist(a, b)
+        neg, idx = jax.lax.top_k(-d, K)
+        return -neg, idx
+
+    return jax.vmap(_one)(p1, p2)
+
+
+def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
+    """Symmetric squared chamfer distance between point clouds
+    (N, P1, 3) / (N, P2, 3).  Returns (loss, None) like PyTorch3D."""
+    dx, _ = knn_points(x, y, K=1)
+    dy, _ = knn_points(y, x, K=1)
+    loss = jnp.mean(dx) + jnp.mean(dy)
+    return loss, None

@@ -101,14 +101,16 @@ def mesh_normal_consistency(meshes) -> jnp.ndarray:
         ], 0).reshape(-1, 2)                                    # (3F, 2)
         lo = jnp.minimum(e[:, 0], e[:, 1])
         hi = jnp.maximum(e[:, 0], e[:, 1])
-        key = lo.astype(jnp.int64) * (v_count + 1) + hi
         face_of_edge = jnp.tile(jnp.arange(f), 3)
         valid = jnp.tile(fmask_n, 3)
-        key = jnp.where(valid, key, jnp.iinfo(jnp.int64).max)
-        order = jnp.argsort(key)
-        key_s = key[order]
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        lo = jnp.where(valid, lo, big)
+        hi = jnp.where(valid, hi, big)
+        order = jnp.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
         face_s = face_of_edge[order]
-        pair = key_s[1:] == key_s[:-1]
+        pair = (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]) & (
+            lo_s[1:] != big)
         n1 = normals[face_s[:-1]]
         n2 = normals[face_s[1:]]
         cos = jnp.sum(n1 * n2, axis=-1)

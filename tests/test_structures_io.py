@@ -1,0 +1,86 @@
+import jax.numpy as jnp
+import numpy as np
+
+import pertrenderer_tpu as pt
+from pertrenderer_tpu.io import cube_mesh_data, make_icosphere
+
+
+def test_cube_asset():
+    mesh = pt.load_cube()
+    assert mesh.verts.shape == (1, 8, 3)
+    assert mesh.faces.shape == (1, 12, 3)
+    assert int(mesh.num_faces[0]) == 12
+    v = np.asarray(mesh.verts[0])
+    np.testing.assert_allclose(np.abs(v), 0.5)
+
+
+def test_icosphere_642():
+    verts, faces = make_icosphere(3)
+    assert verts.shape == (642, 3)
+    assert faces.shape == (1280, 3)
+    np.testing.assert_allclose(np.linalg.norm(verts, axis=1), 1.0, atol=1e-6)
+    # closed 2-manifold: E = 3F/2, Euler characteristic V - E + F = 2
+    assert verts.shape[0] - 3 * faces.shape[0] // 2 + faces.shape[0] == 2
+
+
+def test_mesh_functional_updates():
+    mesh = pt.load_cube()
+    m2 = mesh.scale_verts(2.0)
+    np.testing.assert_allclose(np.asarray(m2.verts), np.asarray(mesh.verts) * 2)
+    m3 = mesh.offset_verts(jnp.ones_like(mesh.verts[0]))
+    np.testing.assert_allclose(np.asarray(m3.verts), np.asarray(mesh.verts) + 1)
+    m4 = mesh.extend(3)
+    assert m4.batch_size == 3
+    np.testing.assert_allclose(np.asarray(m4.verts[2]), np.asarray(mesh.verts[0]))
+
+
+def test_verts_normals_cube():
+    mesh = pt.load_cube()
+    n = np.asarray(mesh.verts_normals())[0]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+    # cube corner normals point away from the center
+    v = np.asarray(mesh.verts[0])
+    cos = (n * v / np.linalg.norm(v, axis=-1, keepdims=True)).sum(-1)
+    assert (cos > 0.9).all()
+
+
+def test_face_normals_unit():
+    mesh = pt.load_cube()
+    fn = np.asarray(mesh.face_normals())[0]
+    np.testing.assert_allclose(np.linalg.norm(fn, axis=-1), 1.0, atol=1e-5)
+
+
+def test_obj_roundtrip(tmp_path):
+    verts, faces = make_icosphere(1)
+    path = str(tmp_path / "sphere.obj")
+    pt.save_obj(path, verts, faces)
+    v2, f2, aux = pt.load_obj(path)
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    np.testing.assert_array_equal(f2.verts_idx, faces)
+
+
+def test_load_reference_obj_if_present():
+    import os
+
+    path = "/root/reference/data/objs/sphere/sphere_642.obj"
+    if not os.path.exists(path):
+        return
+    v, f, aux = pt.load_obj(path)
+    assert v.shape == (642, 3)
+    assert f.verts_idx.shape == (1280, 3)
+
+
+def test_cube_uv_strips_map_to_colors():
+    """Face pair k must sample strip color k (the painted-texture semantics of
+    `/root/reference/experiments/eval.py:746-755`)."""
+    from pertrenderer_tpu.io import _CUBE_STRIP_COLORS, cube_texture_image
+
+    verts, faces, verts_uvs, faces_uvs = cube_mesh_data()
+    img = cube_texture_image()
+    w = img.shape[1]
+    for face_idx in range(12):
+        uv = verts_uvs[faces_uvs[face_idx, 0]]
+        x = int(uv[0] * (w - 1))
+        color = img[img.shape[0] // 2, x]
+        np.testing.assert_allclose(color, _CUBE_STRIP_COLORS[face_idx // 2],
+                                   atol=1e-6)

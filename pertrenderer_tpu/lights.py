@@ -125,21 +125,23 @@ def diffuse_specular(
     Returns:
       (diffuse, specular), each (N, ..., 3).
     """
-    n_batch = points.shape[0]
-    bshape = (n_batch,) + (1,) * (points.ndim - 2) + (3,)
+    def _b(x):
+        # Reshape (B, 3) per-batch values for broadcasting against
+        # (N, ..., 3) points; B may be 1 (broadcast) or N.
+        return x.reshape((x.shape[0],) + (1,) * (points.ndim - 2) + (3,))
+
     to_light = lights.direction_to_light(points)
     cos_angle = jnp.sum(normals * to_light, axis=-1, keepdims=True)
-    diffuse = lights.diffuse_color.reshape(bshape) * jnp.maximum(cos_angle, 0.0)
+    diffuse = _b(lights.diffuse_color) * jnp.maximum(cos_angle, 0.0)
 
-    view_dir = camera_position.reshape(bshape) - points
+    view_dir = _b(camera_position) - points
     view_dir = view_dir / jnp.maximum(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-8
     )
     reflect = 2.0 * cos_angle * normals - to_light
     alpha = jnp.maximum(jnp.sum(view_dir * reflect, axis=-1, keepdims=True), 0.0)
     facing = (cos_angle > 0.0).astype(points.dtype)
-    shin = shininess.reshape((n_batch,) + (1,) * (points.ndim - 1))
-    specular = (
-        lights.specular_color.reshape(bshape) * facing * jnp.power(alpha, shin)
-    )
+    shin = shininess.reshape(
+        (shininess.shape[0],) + (1,) * (points.ndim - 1))
+    specular = _b(lights.specular_color) * facing * jnp.power(alpha, shin)
     return diffuse, specular

@@ -100,12 +100,14 @@ def _stochastic_agg(cls_noise: str, variance_reduction: bool):
         eps: float = struct.field(pytree_node=False, default=1e-10)
         nb_samples: int = struct.field(pytree_node=False, default=16)
         fixed_noise: bool = struct.field(pytree_node=False, default=False)
+        sample_axis: str = struct.field(pytree_node=False, default=None)
 
         @classmethod
         def create(cls, gamma=4e-2, alpha=1.0, eps=1e-10, nb_samples=16,
-                   fixed_noise=False):
+                   fixed_noise=False, sample_axis=None):
             return cls(gamma=_scalar(gamma), alpha=_scalar(alpha), eps=eps,
-                       nb_samples=nb_samples, fixed_noise=fixed_noise)
+                       nb_samples=nb_samples, fixed_noise=fixed_noise,
+                       sample_axis=sample_axis)
 
         def aggregate(self, zbuf, zfar, znear, prob_map, mask, key=None):
             if self.fixed_noise or key is None:
@@ -115,7 +117,8 @@ def _stochastic_agg(cls_noise: str, variance_reduction: bool):
             z_map = _z_map(self.gamma, self.alpha, self.eps, zbuf, zfar,
                            znear, prob_map, mask, corrected_prod=corrected)
             return perturbed_argmax(z_map, self.gamma, key, self.nb_samples,
-                                    cls_noise, variance_reduction)
+                                    cls_noise, variance_reduction,
+                                    self.sample_axis)
 
         def update_smoothing(self, gamma=4e-2, alpha=1.0):
             return self.replace(gamma=_scalar(gamma), alpha=_scalar(alpha))

@@ -62,14 +62,16 @@ class GaussianRast:
 
     sigma: jnp.ndarray
     nb_samples: int = struct.field(pytree_node=False, default=16)
+    sample_axis: str = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, sigma=2e-4, nb_samples=16):
-        return cls(sigma=_scalar(sigma), nb_samples=nb_samples)
+    def create(cls, sigma=2e-4, nb_samples=16, sample_axis=None):
+        return cls(sigma=_scalar(sigma), nb_samples=nb_samples,
+                   sample_axis=sample_axis)
 
     def rasterize(self, dists, key):
         return perturbed_heaviside(-dists, self.sigma, key, self.nb_samples,
-                                   "gaussian", True)
+                                   "gaussian", True, self.sample_axis)
 
     def update_smoothing(self, sigma):
         return self.replace(sigma=_scalar(sigma))
@@ -85,14 +87,16 @@ class GaussianRast_wovr:
 
     sigma: jnp.ndarray
     nb_samples: int = struct.field(pytree_node=False, default=16)
+    sample_axis: str = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, sigma=2e-4, nb_samples=16):
-        return cls(sigma=_scalar(sigma), nb_samples=nb_samples)
+    def create(cls, sigma=2e-4, nb_samples=16, sample_axis=None):
+        return cls(sigma=_scalar(sigma), nb_samples=nb_samples,
+                   sample_axis=sample_axis)
 
     def rasterize(self, dists, key):
         return perturbed_heaviside(-dists, self.sigma, key, self.nb_samples,
-                                   "gaussian", False)
+                                   "gaussian", False, self.sample_axis)
 
     def update_smoothing(self, sigma):
         return self.replace(sigma=_scalar(sigma))
@@ -108,14 +112,16 @@ class ArctanRast:
 
     sigma: jnp.ndarray
     nb_samples: int = struct.field(pytree_node=False, default=16)
+    sample_axis: str = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, sigma=2e-4, nb_samples=16):
-        return cls(sigma=_scalar(sigma), nb_samples=nb_samples)
+    def create(cls, sigma=2e-4, nb_samples=16, sample_axis=None):
+        return cls(sigma=_scalar(sigma), nb_samples=nb_samples,
+                   sample_axis=sample_axis)
 
     def rasterize(self, dists, key):
         return perturbed_heaviside(-dists, self.sigma, key, self.nb_samples,
-                                   "cauchy", True)
+                                   "cauchy", True, self.sample_axis)
 
     def update_smoothing(self, sigma):
         return self.replace(sigma=_scalar(sigma))

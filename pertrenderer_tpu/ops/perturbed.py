@@ -85,9 +85,22 @@ def _score(noise: jnp.ndarray, noise_type: str) -> jnp.ndarray:
 # Perturbed Heaviside
 # --------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _device_key(key, sample_axis):
+    """Under shard_map with the MC-sample mesh axis, give each device its own
+    noise stream (SURVEY §2.5: shard S across chips, pmean the sample means)."""
+    if sample_axis is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
+
+
+def _axis_mean(x, sample_axis):
+    return x if sample_axis is None else jax.lax.pmean(x, sample_axis)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def perturbed_heaviside(distances, noise_intensity, key, nb_samples=1,
-                        noise_type="gaussian", variance_reduction=True):
+                        noise_type="gaussian", variance_reduction=True,
+                        sample_axis=None):
     """Monte-Carlo smoothed Heaviside: E_Z[H(d + sigma * Z)].
 
     Forward mirrors `randomHeaviside.forward`
@@ -106,25 +119,32 @@ def perturbed_heaviside(distances, noise_intensity, key, nb_samples=1,
 
     Without variance reduction (`randomHeaviside_wovr`, smoothrast.py:61-108)
     the H(d) control variate is dropped.
+
+    With ``sample_axis`` set (a mesh axis name inside shard_map), ``nb_samples``
+    is the per-device count and the sample mean is ``pmean``'d across the axis
+    — mathematically exact since the estimator is a sample mean.
     """
+    key = _device_key(key, sample_axis)
+
     def body(acc, s):
         z = _sample_noise(jax.random.fold_in(key, s), distances.shape, noise_type)
         return acc + heaviside(distances + noise_intensity * z), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros_like(distances),
                           jnp.arange(nb_samples))
-    return acc / nb_samples
+    return _axis_mean(acc / nb_samples, sample_axis)
 
 
 def _ph_fwd(distances, noise_intensity, key, nb_samples, noise_type,
-            variance_reduction):
+            variance_reduction, sample_axis):
     out = perturbed_heaviside(distances, noise_intensity, key, nb_samples,
-                              noise_type, variance_reduction)
+                              noise_type, variance_reduction, sample_axis)
     return out, (distances, noise_intensity, key)
 
 
-def _ph_bwd(nb_samples, noise_type, variance_reduction, res, g):
+def _ph_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
     distances, noise_intensity, key = res
+    key = _device_key(key, sample_axis)
     h0 = heaviside(distances) if variance_reduction else jnp.zeros_like(distances)
 
     def body(acc, s):
@@ -134,7 +154,7 @@ def _ph_bwd(nb_samples, noise_type, variance_reduction, res, g):
 
     acc, _ = jax.lax.scan(body, jnp.zeros_like(distances),
                           jnp.arange(nb_samples))
-    coeff = acc / (nb_samples * noise_intensity)
+    coeff = _axis_mean(acc / (nb_samples * noise_intensity), sample_axis)
     grad_d = coeff * g
     grad_sigma = jnp.sum(grad_d)
     return grad_d, grad_sigma, None
@@ -147,9 +167,10 @@ perturbed_heaviside.defvjp(_ph_fwd, _ph_bwd)
 # Perturbed argmax
 # --------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def perturbed_argmax(z, noise_intensity, key, nb_samples=1,
-                     noise_type="gaussian", variance_reduction=True):
+                     noise_type="gaussian", variance_reduction=True,
+                     sample_axis=None):
     """Monte-Carlo smoothed argmax over the last axis:
     E_Z[onehot(argmax(z + gamma * Z))].
 
@@ -167,25 +188,31 @@ def perturbed_argmax(z, noise_intensity, key, nb_samples=1,
 
     The backward pass recomputes per-sample noise and argmax one-hots from the
     saved key instead of keeping (S, ...) residuals.
+
+    With ``sample_axis`` set, ``nb_samples`` is per-device and sample means
+    (forward and backward accumulators) are ``pmean``'d across the mesh axis.
     """
+    key = _device_key(key, sample_axis)
+
     def body(acc, s):
         noise = _sample_noise(jax.random.fold_in(key, s), z.shape, noise_type)
         w = hard_argmax_onehot(z + noise_intensity * noise)
         return acc + w, None
 
     acc, _ = jax.lax.scan(body, jnp.zeros_like(z), jnp.arange(nb_samples))
-    return acc / nb_samples
+    return _axis_mean(acc / nb_samples, sample_axis)
 
 
 def _pa_fwd(z, noise_intensity, key, nb_samples, noise_type,
-            variance_reduction):
+            variance_reduction, sample_axis):
     out = perturbed_argmax(z, noise_intensity, key, nb_samples, noise_type,
-                           variance_reduction)
+                           variance_reduction, sample_axis)
     return out, (z, noise_intensity, key)
 
 
-def _pa_bwd(nb_samples, noise_type, variance_reduction, res, g):
+def _pa_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
     z, noise_intensity, key = res
+    key = _device_key(key, sample_axis)
     if noise_type not in ("gaussian", "cauchy"):
         raise NotImplementedError(
             f"backward for noise type {noise_type!r} not implemented "
@@ -212,8 +239,9 @@ def _pa_bwd(nb_samples, noise_type, variance_reduction, res, g):
     (acc_z, acc_g), _ = jax.lax.scan(
         body, (jnp.zeros_like(z), jnp.asarray(0.0, z.dtype)),
         jnp.arange(nb_samples))
-    grad_z = acc_z / (nb_samples * noise_intensity)
-    grad_gamma = acc_g / (nb_samples * noise_intensity)
+    grad_z = _axis_mean(acc_z / (nb_samples * noise_intensity), sample_axis)
+    grad_gamma = _axis_mean(acc_g / (nb_samples * noise_intensity),
+                            sample_axis)
     return grad_z, grad_gamma, None
 
 

@@ -1,0 +1,210 @@
+"""Multi-chip scale-out: device meshes + shard_map'd training steps.
+
+The reference is single-process/single-GPU (SURVEY.md §2.5 — zero hits for any
+distributed backend); this module is the TPU-native scale-out it lacks:
+
+  * **data axis**: a batch of pose problems (or camera views) sharded across
+    chips; per-problem pose parameters and optimizer state live sharded, the
+    shared smoothing parameters (sigma/gamma/alpha) are replicated with
+    ``pmean``'d gradients riding ICI.
+  * **samples axis**: the Monte-Carlo sample dimension of both perturbed
+    estimators sharded across chips; the estimators ``pmean`` their sample
+    means *inside* the forward and custom-VJP backward (see
+    ops/perturbed.py) — mathematically exact because both are sample means
+    (`/root/reference/randomras/smoothrast.py:36`, `smoothagg.py:41`).
+
+Only ``psum``/``pmean`` collectives are needed at this model scale; XLA
+schedules them on ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import pertrenderer_tpu as pt
+from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+__all__ = ["build_mesh", "make_sharded_pose_step", "dryrun_multichip"]
+
+DATA_AXIS = "data"
+SAMPLE_AXIS = "samples"
+
+
+def build_mesh(n_devices: Optional[int] = None,
+               samples_parallel: Optional[int] = None) -> Mesh:
+    """A (data, samples) mesh over the first ``n_devices`` devices.
+
+    ``samples_parallel`` chips shard the MC-sample axis (default: 2 when the
+    device count allows, else 1); the rest shard the problem batch.
+    """
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    devices = devices[:n]
+    if samples_parallel is None:
+        samples_parallel = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % samples_parallel == 0
+    shape = (n // samples_parallel, samples_parallel)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, SAMPLE_AXIS))
+
+
+def _data_specs(tree, axis=DATA_AXIS):
+    """Per-leaf PartitionSpecs: shard rank>=1 leaves on the data axis,
+    replicate scalars (e.g. Adam's step count)."""
+    return jax.tree.map(
+        lambda leaf: P(axis) if jnp.ndim(leaf) >= 1 else P(), tree)
+
+
+def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
+                           optimizer, opt_state_example,
+                           smoothing_lr: float = 0.0):
+    """Build a jitted multi-chip pose training step.
+
+    The returned step maps (log_rot (B, 3), opt_state, targets (B, H, W, 3),
+    keys (B, 2) uint32, renderer) -> (new log_rot, new opt_state, loss (B,),
+    renderer) with B sharded over the data axis and the MC sample axis of the
+    renderer's estimators sharded over the samples axis (the renderer must be
+    built with ``sample_axis=SAMPLE_AXIS`` smoothers).
+
+    ``smoothing_lr`` > 0 also applies a plain SGD update to the shared
+    sigma/gamma/alpha leaves from their ``pmean``'d gradients — the adaptive
+    regularization signal of `/root/reference/experiments/eval.py:382-394`
+    computed collectively.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def per_problem_loss(log_rot, renderer, target, key):
+        rot = so3_exp_map(log_rot[None])
+        pred = scene_mesh.update_padded(
+            Rotate(rot).transform_points(scene_mesh.verts_padded()))
+        images = renderer(pred, key=key, cameras=cameras, lights=lights)
+        return jnp.mean((images[..., :3] - target[None]) ** 2)
+
+    def local_step(log_rot, opt_state, targets, keys, renderer):
+        # log_rot: (B_local, 3); targets: (B_local, H, W, 3); keys (B_local, 2)
+        def batch_loss(log_rot, renderer):
+            losses = jax.vmap(
+                per_problem_loss, in_axes=(0, None, 0, 0)
+            )(log_rot, renderer, targets, keys)
+            return jnp.mean(losses), losses
+
+        (mean_loss, losses), grads = jax.value_and_grad(
+            batch_loss, argnums=(0, 1), has_aux=True)(log_rot, renderer)
+        g_pose, g_renderer = grads
+        # Shared smoothing parameters: average gradients across the data axis.
+        g_renderer = jax.lax.pmean(g_renderer, DATA_AXIS)
+        updates, opt_state = optimizer.update(g_pose, opt_state, log_rot)
+        log_rot = optax.apply_updates(log_rot, updates)
+        if smoothing_lr > 0.0:
+            shader = renderer.shader
+            g_shader = g_renderer.shader
+            shader = shader.replace(
+                smoothrast=shader.smoothrast.replace(
+                    sigma=shader.smoothrast.sigma
+                    - smoothing_lr * g_shader.smoothrast.sigma),
+                smoothagg=shader.smoothagg.replace(
+                    gamma=shader.smoothagg.gamma
+                    - smoothing_lr * g_shader.smoothagg.gamma,
+                    alpha=shader.smoothagg.alpha
+                    - smoothing_lr * g_shader.smoothagg.alpha),
+            )
+            renderer = renderer.replace(shader=shader)
+        return log_rot, opt_state, losses, renderer
+
+    opt_specs = _data_specs(opt_state_example)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), opt_specs, P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), opt_specs, P(DATA_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def dryrun_multichip(n_devices: int, image_size: int = 16,
+                     faces_per_pixel: int = 8, steps: int = 1) -> None:
+    """Compile and run the FULL multi-chip training step on tiny shapes.
+
+    Creates an ``n_devices`` mesh with real data/sample shardings, builds the
+    flagship renderer (GaussianRast + GaussianAgg with the sample axis mapped
+    onto the mesh), jits the sharded train step, and executes ``steps`` steps.
+    """
+    mesh = build_mesh(n_devices)
+    n_data = mesh.shape[DATA_AXIS]
+    batch = n_data  # one problem per data-axis slice
+
+    scene_mesh = pt.load_cube().scale_verts(2.0)
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    settings = pt.RasterizationSettings(
+        image_size=image_size, blur_radius=blur,
+        faces_per_pixel=faces_per_pixel)
+    renderer = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                            raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=pt.GaussianRast.create(sigma=sigma, nb_samples=2,
+                                              sample_axis=SAMPLE_AXIS),
+            smoothagg=pt.GaussianAgg.create(gamma=gamma, nb_samples=2,
+                                            sample_axis=SAMPLE_AXIS)),
+    )
+
+    key = jax.random.PRNGKey(0)
+    k_rot, k_keys = jax.random.split(key)
+    r_true = pt.random_rotations(batch, k_rot)
+    target_mesh = scene_mesh.extend(batch).update_padded(
+        Rotate(r_true).transform_points(
+            jnp.repeat(scene_mesh.verts, batch, axis=0)))
+    hard = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(
+            cameras=cameras,
+            raster_settings=pt.RasterizationSettings(
+                image_size=image_size, faces_per_pixel=1)),
+        shader=pt.HardPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(background_color=(0.0, 0.0, 0.0))),
+    )
+    cams_b = pt.PerspectiveCameras.create(
+        R=jnp.repeat(r, batch, 0), T=jnp.repeat(t, batch, 0), fov=60.0)
+    lights_b = pt.PointLights.create(location=(0.0, 2.0, -2.0), batch=batch)
+    targets = hard(target_mesh, cameras=cams_b, lights=lights_b)[..., :3]
+
+    log_rot = 0.1 * jax.random.normal(k_rot, (batch, 3))
+    keys = jax.vmap(lambda i: jax.random.fold_in(k_keys, i))(
+        jnp.arange(batch))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(log_rot)
+
+    step = make_sharded_pose_step(mesh, scene_mesh, cameras, lights, opt,
+                                  opt_state, smoothing_lr=1e-4)
+
+    # Place sharded inputs explicitly so collectives ride the mesh.
+    data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    log_rot = jax.device_put(log_rot, data_sharding)
+    targets = jax.device_put(targets, data_sharding)
+    keys = jax.device_put(keys, data_sharding)
+    opt_state = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        opt_state, _data_specs(opt_state))
+
+    for _ in range(steps):
+        log_rot, opt_state, losses, renderer = step(
+            log_rot, opt_state, targets, keys, renderer)
+    losses = jax.block_until_ready(losses)
+    assert np.isfinite(np.asarray(losses)).all(), "non-finite sharded loss"
+    print(f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
+          f"losses={np.asarray(losses).round(5).tolist()}")

@@ -24,14 +24,15 @@ def apply_lighting(points, normals, lights, cameras, materials):
 
     points, normals: (N, ..., 3).  Returns three (N, ..., 3) arrays.
     """
-    n = points.shape[0]
-    bshape = (n,) + (1,) * (points.ndim - 2) + (3,)
+    def _b(x):
+        return x.reshape((x.shape[0],) + (1,) * (points.ndim - 2) + (3,))
+
     diffuse, specular = diffuse_specular(
         lights, normals, points, cameras.camera_center(), materials.shininess
     )
-    ambient = (materials.ambient_color * lights.ambient_color).reshape(bshape)
-    diffuse = diffuse * materials.diffuse_color.reshape(bshape)
-    specular = specular * materials.specular_color.reshape(bshape)
+    ambient = _b(materials.ambient_color * lights.ambient_color)
+    diffuse = diffuse * _b(materials.diffuse_color)
+    specular = specular * _b(materials.specular_color)
     return ambient, diffuse, specular
 
 

@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 __all__ = ["BlendParams", "hard_rgb_blend", "softmax_rgb_blend",
-           "smooth_rgb_blend"]
+           "smooth_rgb_blend", "smooth_rgb_blend_cm"]
 
 
 class BlendParams(NamedTuple):
@@ -88,3 +88,31 @@ def smooth_rgb_blend(colors: jnp.ndarray, fragments, smoothrast, smoothagg,
     weighted_background = wb * background
     rgb = weighted_colors + weighted_background
     return jnp.concatenate([rgb, 1.0 - alpha_chan], axis=-1)
+
+
+def smooth_rgb_blend_cm(colors_cm: jnp.ndarray, pfrag, smoothrast, smoothagg,
+                        blend_params: BlendParams, znear=1.0, zfar=100.0,
+                        key=None) -> jnp.ndarray:
+    """Channel-major twin of :func:`smooth_rgb_blend` — the hot path.
+
+    colors_cm: (3, N, H, W, K); pfrag: PlanarFragments.  Returns RGBA
+    (N, H, W, 4) — the only row-major (small-minor-dim) array produced, at
+    the very end of the pipeline.
+    """
+    import jax
+
+    background = jnp.asarray(blend_params.background_color, colors_cm.dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key_rast, key_agg = jax.random.split(key)
+
+    mask = pfrag.pix_to_face >= 0
+    prob_map = smoothrast.rasterize(pfrag.dists, key_rast) * mask
+    alpha = 1.0 - jnp.prod(1.0 - prob_map, axis=-1)         # (N, H, W)
+    weights = smoothagg.aggregate(pfrag.zbuf, zfar, znear, prob_map,
+                                  mask, key_agg)            # (N, H, W, K+1)
+    wz, wb = weights[..., :-1], weights[..., -1]
+    rgb = jnp.sum(wz[None] * colors_cm, axis=-1)            # (3, N, H, W)
+    rgb = rgb + wb[None] * background.reshape(3, 1, 1, 1)
+    return jnp.concatenate(
+        [jnp.moveaxis(rgb, 0, -1), alpha[..., None]], axis=-1)

@@ -18,6 +18,7 @@ from pertrenderer_tpu.ops.rasterize import (
     Fragments,
     RasterizationSettings,
     rasterize_meshes,
+    rasterize_planar,
 )
 
 __all__ = ["MeshRasterizer", "MeshRenderer"]
@@ -47,6 +48,14 @@ class MeshRasterizer:
                              "initialization or in the forward pass")
         return rasterize_meshes(meshes, cameras, self.raster_settings)
 
+    def planar(self, meshes, cameras=None):
+        """Channel-major fragments — the hot path (no stacked bary array)."""
+        cameras = cameras if cameras is not None else self.cameras
+        if cameras is None:
+            raise ValueError("Cameras must be specified either at "
+                             "initialization or in the forward pass")
+        return rasterize_planar(meshes, cameras, self.raster_settings)
+
     def update_blur(self, blur_radius: float) -> "MeshRasterizer":
         """Functional analog of mutating ``raster_settings.blur_radius``
         during annealing (`/root/reference/experiments/eval.py:390`)."""
@@ -72,5 +81,11 @@ class MeshRenderer:
 
     def __call__(self, meshes, key=None, **kwargs):
         cameras = kwargs.get("cameras", self.rasterizer.cameras)
-        fragments = self.rasterizer(meshes, cameras=cameras)
+        # Shaders on the fused channel-major path take PlanarFragments
+        # (RandomPhongShader / RandomSimpleShader); the baseline shaders use
+        # the public PyTorch3D-layout Fragments.
+        if getattr(type(self.shader), "planar_input", False):
+            fragments = self.rasterizer.planar(meshes, cameras=cameras)
+        else:
+            fragments = self.rasterizer(meshes, cameras=cameras)
         return self.shader(fragments, meshes, key=key, **kwargs)

@@ -24,13 +24,15 @@ from pertrenderer_tpu.blending import (
     BlendParams,
     hard_rgb_blend,
     smooth_rgb_blend,
+    smooth_rgb_blend_cm,
     softmax_rgb_blend,
 )
 from pertrenderer_tpu.cameras import PerspectiveCameras, look_at_view_transform
 from pertrenderer_tpu.lights import Materials, PointLights
 from pertrenderer_tpu.models.smoothagg import SoftAgg
 from pertrenderer_tpu.models.smoothrast import SoftRast
-from pertrenderer_tpu.shading import phong_shading
+from pertrenderer_tpu.ops.rasterize import as_planar
+from pertrenderer_tpu.shading import phong_shading, phong_shading_cm
 
 __all__ = [
     "RandomPhongShader", "RandomSimpleShader", "SimpleShader",
@@ -49,6 +51,8 @@ def _znear_zfar(cameras, kwargs):
 class RandomPhongShader:
     """Phong shading + perturbed blending
     (`/root/reference/randomras/random_rasterizer.py:60-130`)."""
+
+    planar_input = True  # MeshRenderer feeds PlanarFragments (hot path)
 
     cameras: Optional[PerspectiveCameras] = None
     lights: Optional[PointLights] = None
@@ -70,20 +74,25 @@ class RandomPhongShader:
         )
 
     def __call__(self, fragments, meshes, key=None, **kwargs) -> jnp.ndarray:
+        """Channel-major fused path: sample -> phong -> perturbed blend.
+
+        Accepts PlanarFragments (hot path, from MeshRenderer) or public
+        Fragments (unstacked on the fly)."""
         cameras = kwargs.get("cameras", self.cameras)
         if cameras is None:
             raise ValueError("Cameras must be specified either at "
                              "initialization or in the forward pass")
-        texels = meshes.sample_textures(fragments)
+        pfrag = as_planar(fragments)
+        texels_cm = meshes.sample_textures_cm(pfrag)
         lights = kwargs.get("lights", self.lights)
         materials = kwargs.get("materials", self.materials)
         blend_params = kwargs.get("blend_params", self.blend_params)
-        colors = phong_shading(meshes, fragments, texels, lights, cameras,
-                               materials)
+        colors_cm = phong_shading_cm(meshes, pfrag, texels_cm, lights,
+                                     cameras, materials)
         znear, zfar = _znear_zfar(cameras, kwargs)
-        return smooth_rgb_blend(colors, fragments, self.smoothrast,
-                                self.smoothagg, blend_params, znear=znear,
-                                zfar=zfar, key=key)
+        return smooth_rgb_blend_cm(colors_cm, pfrag, self.smoothrast,
+                                   self.smoothagg, blend_params, znear=znear,
+                                   zfar=zfar, key=key)
 
     def get_smoothing(self):
         return self.smoothrast.sigma, self.smoothagg.gamma, self.smoothagg.alpha
@@ -108,6 +117,8 @@ class RandomPhongShader:
 class RandomSimpleShader:
     """Texels straight to perturbed blending — no lighting
     (`/root/reference/randomras/random_rasterizer.py:132-191`)."""
+
+    planar_input = True  # MeshRenderer feeds PlanarFragments (hot path)
 
     cameras: Optional[PerspectiveCameras] = None
     lights: Optional[PointLights] = None
@@ -138,12 +149,13 @@ class RandomSimpleShader:
         if cameras is None:
             raise ValueError("Cameras must be specified either at "
                              "initialization or in the forward pass")
-        texels = meshes.sample_textures(fragments)
+        pfrag = as_planar(fragments)
+        texels_cm = meshes.sample_textures_cm(pfrag)
         blend_params = kwargs.get("blend_params", self.blend_params)
         znear, zfar = _znear_zfar(cameras, kwargs)
-        return smooth_rgb_blend(texels, fragments, self.smoothrast,
-                                self.smoothagg, blend_params, znear=znear,
-                                zfar=zfar, key=key)
+        return smooth_rgb_blend_cm(texels_cm, pfrag, self.smoothrast,
+                                   self.smoothagg, blend_params, znear=znear,
+                                   zfar=zfar, key=key)
 
     def get_smoothing(self):
         return self.smoothrast.sigma, self.smoothagg.gamma, self.smoothagg.alpha

@@ -1,0 +1,235 @@
+"""MXU-friendly row gather: one-hot matmul Pallas kernels.
+
+XLA's native TPU ``gather`` costs ~25 ns/row (a scalar loop) — profiling the
+render step showed per-pixel face-attribute gathers dominating the whole
+pipeline.  The TPU-native alternative: express ``table[idx]`` as
+``one_hot(idx) @ table`` so the MXU does the indexing, materializing one-hot
+*tiles in VMEM only*.
+
+Layout matters as much as the matmul: on TPU the minor dimension pads to 128
+lanes, so a (P, 3) gather output would carry 42x write amplification.  The
+core kernel is therefore **channel-major**: ``take_rows_cm(table, idx)``
+returns ``(D, *idx.shape)`` — the D channels land on the (cheaply padded)
+sublane axis and the big pixel axis stays lane-aligned.  The render pipeline
+is channel-major end-to-end for the same reason.
+
+    grid over (pixel tiles x face chunks):
+        oh   = (idx_tile == face_iota)                  # (TILE_F, TILE_P), VPU
+        out += table_t_chunk @ oh                       # (D, TILE_P), MXU
+
+HBM traffic is just idx + table + out; FLOPs are P*F*D*2 — dense, so the
+kernel is used when the table has at most ``MAX_ONEHOT_ROWS`` rows (per-face
+attribute tables, small texture maps); larger tables fall back to XLA gather
+(and the rasterizer's binning prepass bounds F per call for huge meshes).
+
+Differentiable w.r.t. ``table``: the VJP is the transposed one-hot matmul
+(``d_table = one_hot^T @ g``) with the same tiling — a matmul, not a
+scatter-add.  Out-of-range indices (the rasterizer's -1 padding) produce
+zero rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["take_rows", "take_rows_cm", "take_rows_batched", "MAX_ONEHOT_ROWS"]
+
+_TILE_P = 2048     # pixel-tile columns per grid step (16 f32 lanes-tiles)
+_TILE_F = 128      # face-chunk rows per grid step (MXU-width)
+
+# Above this table size the dense one-hot matmul wastes more FLOPs than the
+# scalar gather costs; fall back to XLA's gather.
+MAX_ONEHOT_ROWS = 8192
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gather_cm_kernel(idx_ref, table_ref, out_ref):
+    """out[:, p] = table_t[:, idx[p]] for one pixel tile, accumulated over
+    face chunks.  idx block (1, TILE_P); table_t block (d_pad, TILE_F); out
+    block (d_pad, TILE_P)."""
+    f_chunk = pl.program_id(1)
+
+    @pl.when(f_chunk == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[:]                                    # (1, TILE_P)
+    base = f_chunk * _TILE_F
+    row = jax.lax.broadcasted_iota(jnp.int32, (_TILE_F, _TILE_P), 0) + base
+    oh = (idx == row).astype(table_ref.dtype)           # (TILE_F, TILE_P)
+    # HIGHEST precision: the MXU otherwise truncates f32 operands to bf16 —
+    # one-hot selection must reproduce table rows exactly.
+    out_ref[:] += jax.lax.dot_general(
+        table_ref[:], oh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table_t: (D, F) f32; idx: (P,) int32.  Returns (D, P)."""
+    d, f = table_t.shape
+    p = idx.shape[0]
+    f_pad = _round_up(max(f, _TILE_F), _TILE_F)
+    d_pad = _round_up(d, 8)
+    p_pad = _round_up(max(p, _TILE_P), _TILE_P)
+    table_p = jnp.zeros((d_pad, f_pad), table_t.dtype).at[:d, :f].set(table_t)
+    idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
+        idx.astype(jnp.int32)).reshape(p_pad // _TILE_P, _TILE_P)
+
+    out = pl.pallas_call(
+        _gather_cm_kernel,
+        grid=(p_pad // _TILE_P, f_pad // _TILE_F),
+        in_specs=[
+            pl.BlockSpec((1, _TILE_P), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, _TILE_F), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_pad, _TILE_P), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_pad, p_pad), jnp.float32),
+    )(idx_p, table_p)
+    return out[:d, :p]
+
+
+def _scatter_cm_kernel(idx_ref, g_ref, out_ref):
+    """d_table_t[:, f] += sum_{p: idx[p]==f} g[:, p] — transposed one-hot
+    matmul, accumulated over pixel tiles."""
+    p_chunk = pl.program_id(1)
+
+    @pl.when(p_chunk == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    f_chunk = pl.program_id(0)
+    idx = idx_ref[:]                                    # (1, TILE_P)
+    base = f_chunk * _TILE_F
+    row = jax.lax.broadcasted_iota(jnp.int32, (_TILE_F, _TILE_P), 0) + base
+    oh = (idx == row).astype(g_ref.dtype)               # (TILE_F, TILE_P)
+    # (d_pad, TILE_F) += g (d_pad, TILE_P) @ oh^T
+    out_ref[:] += jax.lax.dot_general(
+        g_ref[:], oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _pallas_scatter_rows_cm(g: jnp.ndarray, idx: jnp.ndarray, f: int) -> jnp.ndarray:
+    """g: (D, P); idx: (P,).  Returns (D, F) accumulation."""
+    d, p = g.shape
+    f_pad = _round_up(max(f, _TILE_F), _TILE_F)
+    d_pad = _round_up(d, 8)
+    p_pad = _round_up(max(p, _TILE_P), _TILE_P)
+    g_p = jnp.zeros((d_pad, p_pad), g.dtype).at[:d, :p].set(g)
+    idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
+        idx.astype(jnp.int32)).reshape(p_pad // _TILE_P, _TILE_P)
+
+    out = pl.pallas_call(
+        _scatter_cm_kernel,
+        grid=(f_pad // _TILE_F, p_pad // _TILE_P),
+        in_specs=[
+            pl.BlockSpec((1, _TILE_P), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, _TILE_P), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_pad, _TILE_F), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_pad, f_pad), jnp.float32),
+    )(idx_p, g_p)
+    return out[:d, :f]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _masked_gather_cm(table_t, idx):
+    f = table_t.shape[1]
+    valid = (idx >= 0) & (idx < f)
+    out = table_t[:, jnp.clip(idx, 0, f - 1)]
+    return out * valid[None, :].astype(table_t.dtype)
+
+
+@jax.custom_vjp
+def _take_rows_cm_2d(table_t, idx):
+    """table_t: (D, F); idx: (P,) -> (D, P)."""
+    if _on_tpu() and table_t.shape[1] <= MAX_ONEHOT_ROWS:
+        return _pallas_take_rows_cm(table_t, idx)
+    return _masked_gather_cm(table_t, idx)
+
+
+def _take_rows_cm_fwd(table_t, idx):
+    return _take_rows_cm_2d(table_t, idx), (idx, table_t.shape[1])
+
+
+def _take_rows_cm_bwd(res, g):
+    idx, f = res
+    if _on_tpu() and f <= MAX_ONEHOT_ROWS:
+        d_table = _pallas_scatter_rows_cm(g, idx, f)
+    else:
+        valid = ((idx >= 0) & (idx < f)).astype(g.dtype)
+        d_table = jax.ops.segment_sum(
+            (g * valid[None, :]).T, jnp.clip(idx, 0, f - 1),
+            num_segments=f).T
+    return d_table, None
+
+
+_take_rows_cm_2d.defvjp(_take_rows_cm_fwd, _take_rows_cm_bwd)
+
+
+def take_rows_cm(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Channel-major differentiable gather: ``table[idx]`` with channels first.
+
+    table: (F, ...) float (channels = prod of trailing dims, flattened);
+    idx: any-shape int.  Returns (D, *idx.shape) with D = prod(table.shape[1:]).
+    Negative / out-of-range indices give zero columns.
+    """
+    f = table.shape[0]
+    d = int(np.prod(table.shape[1:])) if table.ndim > 1 else 1
+    table_t = table.reshape(f, d).astype(jnp.float32).T
+    out = _take_rows_cm_2d(table_t, idx.reshape(-1))
+    return out.reshape((d,) + idx.shape)
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-major convenience wrapper: ``table[idx]`` -> (*idx.shape, ...).
+
+    Prefer :func:`take_rows_cm` on hot paths — this wrapper transposes the
+    channel axis back to minor position, which re-introduces lane padding for
+    small channel counts.
+    """
+    inner = table.shape[1:]
+    out = take_rows_cm(table, idx)                     # (D, *idx.shape)
+    out = jnp.moveaxis(out, 0, -1)                     # (*idx.shape, D)
+    return out.reshape(idx.shape + inner)
+
+
+def take_rows_batched(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``tables[n, idx[n]]``: tables (N, F, ...), idx (N, ...)."""
+    n, f = tables.shape[0], tables.shape[1]
+    offsets = (jnp.arange(n, dtype=idx.dtype) * f).reshape(
+        (n,) + (1,) * (idx.ndim - 1))
+    idx_off = jnp.where(idx >= 0, idx + offsets, -1)
+    flat = tables.reshape((n * f,) + tables.shape[2:])
+    return take_rows(flat, idx_off)
+
+
+def take_rows_cm_batched(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Channel-major batched gather: tables (N, F, ...), idx (N, ...) ->
+    (D, N, ...)."""
+    n, f = tables.shape[0], tables.shape[1]
+    offsets = (jnp.arange(n, dtype=idx.dtype) * f).reshape(
+        (n,) + (1,) * (idx.ndim - 1))
+    idx_off = jnp.where(idx >= 0, idx + offsets, -1)
+    flat = tables.reshape((n * f,) + tables.shape[2:])
+    return take_rows_cm(flat, idx_off)

@@ -11,21 +11,29 @@ Design (TPU-first, not a kernel translation):
      chunks, evaluating per-pixel candidacy (inside-face OR within the
      ``blur_radius`` band of signed squared NDC edge distance) and the
      interpolated depth, maintaining a running per-pixel top-K nearest-first
-     z-buffer.  Static shapes, `lax.scan` + `lax.top_k` — no data-dependent
-     control flow, so XLA tiles it onto the VPU.
+     z-buffer.  The merge is a stable variadic ``lax.sort`` carrying face ids
+     alongside depth keys — a vectorized sorting network instead of XLA's
+     scalar-loop gather.
   2. **Derive pass** (differentiable): gather the K winning faces per pixel
-     and re-derive barycentrics, signed squared edge distance and depth from
-     the projected vertices with plain jnp math.  Gradients w.r.t. vertex
-     positions (and through them pose/camera/shape parameters) flow through
-     this pass via XLA autodiff — replacing PyTorch3D's hand-written CUDA
-     backward kernel with compiler-fused math.
+     with the MXU one-hot gather (ops/gather.py) and re-derive barycentrics,
+     signed squared edge distance and depth from the projected vertices with
+     plain jnp math.  Gradients w.r.t. vertex positions (and through them
+     pose/camera/shape parameters) flow through this pass via XLA autodiff —
+     replacing PyTorch3D's hand-written CUDA backward kernel with
+     compiler-fused math.
+
+Layout: TPU pads an array's minor dimension to 128 lanes, so small trailing
+dims (3-vectors, 9 coords) are catastrophic.  The internal representation is
+**planar / channel-major**: barycentrics live as three separate (N, H, W, K)
+arrays (``PlanarFragments``), and per-pixel vertex coordinates are gathered
+channel-major.  The public :class:`Fragments` (PyTorch3D layout, stacked
+``bary_coords`` (N, H, W, K, 3)) is assembled only at the API boundary.
 
 Fragment semantics match PyTorch3D: ``pix_to_face`` (N, H, W, K) face indices
 sorted by ascending depth, -1 padding; ``zbuf`` view-space depth (-1 padding);
 ``dists`` signed *squared* Euclidean NDC x/y distance to the nearest face edge,
-negative inside (-1 padding); ``bary_coords`` (N, H, W, K, 3) (-1 padding).
-Coordinate frame: NDC +x left, +y up; image pixel (0, 0) is top-left = NDC
-(+1, +1).
+negative inside (-1 padding).  Coordinate frame: NDC +x left, +y up; image
+pixel (0, 0) is top-left = NDC (+1, +1).
 """
 
 from __future__ import annotations
@@ -38,17 +46,54 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["Fragments", "RasterizationSettings", "rasterize_meshes"]
+from pertrenderer_tpu.ops.gather import take_rows, take_rows_cm
+
+__all__ = ["Fragments", "PlanarFragments", "RasterizationSettings",
+           "rasterize_meshes", "rasterize_planar"]
 
 _INF = jnp.inf
 
 
 @struct.dataclass
 class Fragments:
+    """PyTorch3D-layout fragments (public API)."""
+
     pix_to_face: jnp.ndarray   # (N, H, W, K) int32, per-mesh face id, -1 empty
     zbuf: jnp.ndarray          # (N, H, W, K) float32 view-space depth
     bary_coords: jnp.ndarray   # (N, H, W, K, 3) float32
     dists: jnp.ndarray         # (N, H, W, K) float32 signed squared distance
+
+
+@struct.dataclass
+class PlanarFragments:
+    """Channel-major fragments: the internal hot-path representation."""
+
+    pix_to_face: jnp.ndarray   # (N, H, W, K) int32
+    zbuf: jnp.ndarray          # (N, H, W, K)
+    dists: jnp.ndarray         # (N, H, W, K)
+    w0: jnp.ndarray            # (N, H, W, K) barycentric coordinates,
+    w1: jnp.ndarray            #   one array per corner (layout: K minor,
+    w2: jnp.ndarray            #   no 3-wide trailing dim)
+
+    def to_fragments(self) -> Fragments:
+        bary = jnp.stack([self.w0, self.w1, self.w2], axis=-1)
+        empty = (self.pix_to_face < 0)[..., None]
+        return Fragments(
+            pix_to_face=self.pix_to_face,
+            zbuf=self.zbuf,
+            bary_coords=jnp.where(empty, -1.0, bary),
+            dists=self.dists,
+        )
+
+
+def as_planar(fragments) -> "PlanarFragments":
+    """View public Fragments as planar (unstacks bary)."""
+    if isinstance(fragments, PlanarFragments):
+        return fragments
+    b = fragments.bary_coords
+    return PlanarFragments(
+        pix_to_face=fragments.pix_to_face, zbuf=fragments.zbuf,
+        dists=fragments.dists, w0=b[..., 0], w1=b[..., 1], w2=b[..., 2])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,8 +102,8 @@ class RasterizationSettings:
 
     Mirrors PyTorch3D's ``RasterizationSettings``
     (`/root/reference/experiments/eval.py:135-141`).  ``bin_size`` and
-    ``max_faces_per_bin`` configure the binned Pallas kernel; the XLA path
-    ignores them (it chunks over all faces).
+    ``max_faces_per_bin`` configure the binned kernel path; the chunked scan
+    ignores them.
     """
 
     image_size: int = 128
@@ -85,8 +130,7 @@ def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.nda
 
 
 def _edge_dist_sq(px, py, ax, ay, bx, by):
-    """Squared distance from pixel (px, py) to segment (a, b).  All inputs
-    broadcast; px/py have trailing singleton face dim."""
+    """Squared distance from pixel (px, py) to segment (a, b); broadcasting."""
     ex, ey = bx - ax, by - ay
     dx, dy = px - ax, py - ay
     denom = ex * ex + ey * ey
@@ -97,21 +141,13 @@ def _edge_dist_sq(px, py, ax, ay, bx, by):
     return rx * rx + ry * ry
 
 
-def _face_pixel_geometry(px, py, fv, clip: bool, perspective_correct: bool):
-    """Per pixel x face geometry.
-
-    px, py: broadcastable pixel NDC coords with trailing face dim (..., 1).
-    fv: (..., 3, 3) projected face verts [x_ndc, y_ndc, z_view].
-
-    Returns (bary_used, z, dist, inside, degenerate) where bary_used are the
-    (optionally clipped / perspective-corrected) barycentrics used for
-    interpolation, z the interpolated depth, dist the signed squared edge
-    distance.
-    """
-    ax, ay, az = fv[..., 0, 0], fv[..., 0, 1], fv[..., 0, 2]
-    bx, by, bz = fv[..., 1, 0], fv[..., 1, 1], fv[..., 1, 2]
-    cx, cy, cz = fv[..., 2, 0], fv[..., 2, 1], fv[..., 2, 2]
-
+def _face_pixel_geometry(px, py, ax, ay, az, bx, by, bz, cx, cy, cz,
+                         clip: bool, perspective_correct: bool):
+    """Per pixel x face geometry on unpacked coordinate arrays (all inputs
+    broadcastable).  Returns (w0, w1, w2, z, dist, inside, degenerate) where
+    (w0, w1, w2) are the interpolation barycentrics (optionally clipped /
+    perspective-corrected), z the interpolated view depth, dist the signed
+    squared edge distance."""
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     degenerate = jnp.abs(area) < 1e-10
     inv_area = 1.0 / jnp.where(degenerate, 1.0, area)
@@ -126,19 +162,20 @@ def _face_pixel_geometry(px, py, fv, clip: bool, perspective_correct: bool):
     min_d = jnp.minimum(d0, jnp.minimum(d1, d2))
     dist = jnp.where(inside, -min_d, min_d)
 
-    bary = jnp.stack([w0, w1, w2], axis=-1)
-    bary_used = bary
     if perspective_correct:
-        z_corners = jnp.stack([az, bz, cz], axis=-1)
-        wz = bary / jnp.maximum(z_corners, 1e-8)
-        bary_used = wz / jnp.maximum(jnp.sum(wz, axis=-1, keepdims=True), 1e-12)
+        s0 = w0 / jnp.maximum(az, 1e-8)
+        s1 = w1 / jnp.maximum(bz, 1e-8)
+        s2 = w2 / jnp.maximum(cz, 1e-8)
+        denom = jnp.maximum(s0 + s1 + s2, 1e-12)
+        w0, w1, w2 = s0 / denom, s1 / denom, s2 / denom
     if clip:
-        clipped = jnp.maximum(bary_used, 0.0)
-        bary_used = clipped / jnp.maximum(
-            jnp.sum(clipped, axis=-1, keepdims=True), 1e-12
-        )
-    z = bary_used[..., 0] * az + bary_used[..., 1] * bz + bary_used[..., 2] * cz
-    return bary_used, z, dist, inside, degenerate
+        c0 = jnp.maximum(w0, 0.0)
+        c1 = jnp.maximum(w1, 0.0)
+        c2 = jnp.maximum(w2, 0.0)
+        denom = jnp.maximum(c0 + c1 + c2, 1e-12)
+        w0, w1, w2 = c0 / denom, c1 / denom, c2 / denom
+    z = w0 * az + w1 * bz + w2 * cz
+    return w0, w1, w2, z, dist, inside, degenerate
 
 
 def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
@@ -146,7 +183,7 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
     """Non-differentiable top-K face selection for one mesh.
 
     verts_ndc: (V, 3); faces: (F, 3) int32 (padding -1).
-    Returns (idx (H, W, K) int32 with -1 padding, sorted ascending-z).
+    Returns idx (H, W, K) int32 with -1 padding, sorted ascending-z.
     """
     h = w = image_size
     fcount = faces.shape[0]
@@ -155,7 +192,7 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
     pad = n_chunks * c - fcount
 
     safe_faces = jnp.maximum(faces, 0)
-    fv = verts_ndc[safe_faces]                      # (F, 3, 3)
+    fv = take_rows(verts_ndc, safe_faces)           # (F, 3, 3)
     face_ids = jnp.arange(fcount, dtype=jnp.int32)
     valid = (face_ids < num_faces) & jnp.all(faces >= 0, axis=-1)
     if cull_backfaces:
@@ -180,8 +217,9 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
     def chunk_step(carry, chunk):
         z_top, idx_top = carry                       # (H, W, K)
         chunk_id, fv_c, valid_c = chunk
-        _, z, dist, inside, degen = _face_pixel_geometry(
-            px, py, fv_c[None, None], clip, perspective_correct
+        coords = [fv_c[None, None, :, i, j] for i in range(3) for j in range(3)]
+        _, _, _, z, dist, inside, degen = _face_pixel_geometry(
+            px, py, *coords, clip, perspective_correct
         )                                            # (H, W, C)
         candidate = (
             (inside | (dist <= blur_radius))
@@ -190,55 +228,57 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
             & (z > 0)
         )
         z_cand = jnp.where(candidate, z, _INF)
+        cand_ids = jnp.broadcast_to(
+            chunk_id * c + jnp.arange(c, dtype=jnp.int32), z_cand.shape)
         z_all = jnp.concatenate([z_top, z_cand], axis=-1)      # (H, W, K+C)
-        neg_top, pos = jax.lax.top_k(-z_all, k)
-        z_top = -neg_top
-        old_idx = jnp.take_along_axis(idx_top, jnp.minimum(pos, k - 1), axis=-1)
-        new_idx = chunk_id * c + (pos - k)
-        idx_top = jnp.where(pos < k, old_idx, new_idx).astype(jnp.int32)
+        idx_all = jnp.concatenate([idx_top, cand_ids], axis=-1)
+        # Stable variadic sort carries the face ids alongside the depth keys.
+        z_sorted, idx_sorted = jax.lax.sort(
+            (z_all, idx_all), dimension=-1, num_keys=1)
+        z_top = jax.lax.slice_in_dim(z_sorted, 0, k, axis=-1)
+        idx_top = jax.lax.slice_in_dim(idx_sorted, 0, k, axis=-1)
         return (z_top, idx_top), None
 
     z0 = jnp.full((h, w, k), _INF)
     i0 = jnp.full((h, w, k), -1, jnp.int32)
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
-    (z_top, idx_top), _ = jax.lax.scan(
-        chunk_step, (z0, i0), (chunk_ids, fv_chunks, valid_chunks)
-    )
+    if n_chunks == 1:
+        (z_top, idx_top), _ = chunk_step(
+            (z0, i0), (chunk_ids[0], fv_chunks[0], valid_chunks[0]))
+    else:
+        (z_top, idx_top), _ = jax.lax.scan(
+            chunk_step, (z0, i0), (chunk_ids, fv_chunks, valid_chunks))
     idx_top = jnp.where(jnp.isfinite(z_top), idx_top, -1)
     return idx_top
 
 
-def _derive_fragments(verts_ndc, faces, idx, image_size, clip,
-                      perspective_correct):
-    """Differentiable fragment attributes for the selected faces (one mesh).
-
-    idx: (H, W, K) face indices (-1 empty).  Returns (zbuf, bary, dists) with
-    PyTorch3D's -1 padding on empty slots.
-    """
+def _derive_planar(verts_ndc, faces, idx, image_size, clip,
+                   perspective_correct):
+    """Differentiable fragment attributes for the selected faces (one mesh),
+    channel-major.  idx: (H, W, K) face indices (-1 empty).  Returns
+    (zbuf, dists, w0, w1, w2) with PyTorch3D's -1 padding on empty slots
+    (w's padding handled at Fragments assembly)."""
     h = w = image_size
-    safe_idx = jnp.maximum(idx, 0)
-    face_verts = verts_ndc[jnp.maximum(faces, 0)]   # (F, 3, 3)
-    fv = face_verts[safe_idx]                        # (H, W, K, 3, 3)
+    # Per-face vertex table (F, 9), then ONE per-pixel channel-major gather:
+    # fv9 (9, H, W, K) — each coordinate is its own lane-aligned array.
+    face_verts = take_rows(verts_ndc, jnp.maximum(faces, 0))   # (F, 3, 3)
+    fv9 = take_rows_cm(face_verts.reshape(faces.shape[0], 9), idx)
 
     xs, ys = _pixel_grid(h, w)
     px = xs[None, :, None]
     py = ys[:, None, None]
-    bary, z, dist, _, _ = _face_pixel_geometry(px, py, fv, clip,
-                                               perspective_correct)
+    w0, w1, w2, z, dist, _, _ = _face_pixel_geometry(
+        px, py, *[fv9[i] for i in range(9)], clip, perspective_correct)
     empty = idx < 0
     zbuf = jnp.where(empty, -1.0, z)
     dists = jnp.where(empty, -1.0, dist)
-    bary = jnp.where(empty[..., None], -1.0, bary)
-    return zbuf, bary, dists
+    return zbuf, dists, w0, w1, w2
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def rasterize_meshes(meshes, cameras, settings: RasterizationSettings) -> Fragments:
-    """Rasterize a batch of meshes with per-batch cameras.
-
-    Equivalent of PyTorch3D ``MeshRasterizer`` + the native
-    ``rasterize_meshes`` kernel (`/root/reference/randomras/random_rasterizer.py:17`).
-    """
+def rasterize_planar(meshes, cameras, settings: RasterizationSettings) -> PlanarFragments:
+    """Rasterize a batch of meshes with per-batch cameras (channel-major
+    fragments — the hot-path API)."""
     verts_ndc = cameras.transform_points_ndc(meshes.verts)   # (N, V, 3)
     clip = settings.resolve_clip()
 
@@ -251,13 +291,21 @@ def rasterize_meshes(meshes, cameras, settings: RasterizationSettings) -> Fragme
                 clip, settings.perspective_correct, settings.cull_backfaces,
             )
         )
-        zbuf, bary, dists = _derive_fragments(
+        zbuf, dists, w0, w1, w2 = _derive_planar(
             verts_ndc_n, faces_n, idx, settings.image_size, clip,
             settings.perspective_correct,
         )
-        return idx, zbuf, bary, dists
+        return idx, zbuf, dists, w0, w1, w2
 
-    idx, zbuf, bary, dists = jax.vmap(_one)(
+    idx, zbuf, dists, w0, w1, w2 = jax.vmap(_one)(
         verts_ndc, meshes.faces, meshes.num_faces
     )
-    return Fragments(pix_to_face=idx, zbuf=zbuf, bary_coords=bary, dists=dists)
+    return PlanarFragments(pix_to_face=idx, zbuf=zbuf, dists=dists,
+                           w0=w0, w1=w1, w2=w2)
+
+
+def rasterize_meshes(meshes, cameras, settings: RasterizationSettings) -> Fragments:
+    """Public PyTorch3D-layout rasterization (equivalent of ``MeshRasterizer``
+    + the native ``rasterize_meshes`` kernel,
+    `/root/reference/randomras/random_rasterizer.py:17`)."""
+    return rasterize_planar(meshes, cameras, settings).to_fragments()

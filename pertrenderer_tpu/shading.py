@@ -36,6 +36,70 @@ def apply_lighting(points, normals, lights, cameras, materials):
     return ambient, diffuse, specular
 
 
+def _normalize_cm(v, eps=1e-8):
+    """Normalize a channel-major (3, ...) vector field along axis 0."""
+    norm = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    return v / jnp.maximum(norm, eps)
+
+
+def phong_shading_cm(meshes, pfrag, texels_cm, lights, cameras, materials):
+    """Channel-major Phong shading: (3, N, H, W, K) colors.
+
+    The hot-path twin of :func:`phong_shading` — all 3-vector fields keep
+    channels on the leading axis so the big pixel dims stay lane-aligned
+    (TPU pads the minor dim to 128 lanes; a trailing 3 wastes 42x).
+    Currently supports PointLights (the reference's lighting,
+    `/root/reference/experiments/eval.py:252`).
+    """
+    from pertrenderer_tpu.lights import PointLights
+    from pertrenderer_tpu.ops.gather import take_rows_cm_batched
+
+    n, f = meshes.batch_size, meshes.max_faces
+    faces = jnp.maximum(meshes.faces, 0)
+    p2f = pfrag.pix_to_face
+    w0, w1, w2 = pfrag.w0, pfrag.w1, pfrag.w2
+
+    # Per-face corner tables (N, F, 3, 3): verts and vertex normals.
+    from pertrenderer_tpu.ops.gather import take_rows_batched
+
+    verts_table = take_rows_batched(meshes.verts, faces)           # (N,F,3,3)
+    normals_table = take_rows_batched(meshes.verts_normals(), faces)
+
+    def interp_cm(table):
+        vals = take_rows_cm_batched(table.reshape(n, f, 9), p2f)
+        vals = vals.reshape((3, 3) + p2f.shape)        # (corner, xyz, ...)
+        return w0 * vals[0] + w1 * vals[1] + w2 * vals[2]   # (3, N,H,W,K)
+
+    points = interp_cm(verts_table)
+    normals = interp_cm(normals_table)
+
+    if not isinstance(lights, PointLights):
+        raise NotImplementedError(
+            "phong_shading_cm supports PointLights; use phong_shading for "
+            "other light types")
+
+    def _b(x):  # (N, 3) -> (3, N, 1, 1, 1)
+        return jnp.moveaxis(x, -1, 0).reshape(
+            (3, x.shape[0]) + (1,) * (points.ndim - 2))
+
+    to_light = _normalize_cm(_b(lights.location) - points)
+    cos_angle = jnp.sum(normals * to_light, axis=0)                 # (N,H,W,K)
+    diffuse = jnp.maximum(cos_angle, 0.0) * _b(lights.diffuse_color)
+
+    view_dir = _normalize_cm(_b(cameras.camera_center()) - points)
+    reflect = 2.0 * cos_angle * normals - to_light
+    alpha = jnp.maximum(jnp.sum(view_dir * reflect, axis=0), 0.0)
+    facing = (cos_angle > 0.0).astype(points.dtype)
+    shin = materials.shininess.reshape(
+        (materials.shininess.shape[0],) + (1,) * (points.ndim - 2))
+    specular = (facing * jnp.power(alpha, shin)) * _b(lights.specular_color)
+
+    ambient = _b(materials.ambient_color * lights.ambient_color)
+    diffuse = diffuse * _b(materials.diffuse_color)
+    specular = specular * _b(materials.specular_color)
+    return (ambient + diffuse) * texels_cm + specular
+
+
 def phong_shading(meshes, fragments, texels, lights, cameras, materials):
     """Per-fragment Phong colors (N, H, W, K, 3).
 
@@ -43,14 +107,15 @@ def phong_shading(meshes, fragments, texels, lights, cameras, materials):
     barycentric-interpolated from mesh vertices — matching PyTorch3D's
     ``phong_shading``.
     """
+    from pertrenderer_tpu.ops.gather import take_rows_batched
+
     verts = meshes.verts                      # (N, V, 3)
     faces = jnp.maximum(meshes.faces, 0)      # (N, F, 3)
     verts_normals = meshes.verts_normals()    # (N, V, 3)
 
     def _face_attrs(attr):
-        # (N, V, 3) -> (N, F, 3, 3)
-        import jax
-        return jax.vmap(lambda a, f: a[f])(attr, faces)
+        # (N, V, 3) -> (N, F, 3, 3) via the MXU gather
+        return take_rows_batched(attr, faces)
 
     pixel_coords = interpolate_face_attributes(
         fragments.pix_to_face, fragments.bary_coords, _face_attrs(verts)

@@ -162,6 +162,15 @@ class Meshes:
             self.faces, fragments.pix_to_face, fragments.bary_coords
         )
 
+    def sample_textures_cm(self, pfrag) -> jnp.ndarray:
+        """Channel-major texel colors (C, N, H, W, K) from PlanarFragments —
+        the hot-path variant."""
+        if self.textures is None:
+            raise ValueError("Meshes has no textures attached.")
+        return self.textures.sample_cm(
+            self.faces, pfrag.pix_to_face, pfrag.w0, pfrag.w1, pfrag.w2
+        )
+
     def edges(self) -> jnp.ndarray:
         """(N, 3F, 2) all face edges (with duplicates; padded edges are -1)."""
         f = self.faces

@@ -7,9 +7,14 @@ exercises (`/root/reference/experiments/eval.py:233-238,450,746-756`):
   * ``TexturesUV``     — barycentric UV interpolation + bilinear map fetch,
   * ``TexturesAtlas``  — per-face RxR texture atlas lookup.
 
-All sampling paths are pure gathers + arithmetic (XLA-friendly, fully
-differentiable w.r.t. the texture values; UV sampling is also differentiable
-w.r.t. vertex UVs through the bilinear weights).
+All per-pixel indexing goes through ``ops.gather.take_rows`` — the MXU
+one-hot-matmul gather (XLA's native TPU gather is a ~25 ns/row scalar loop
+that dominated the whole render step in profiles).  The pattern everywhere:
+build a small *per-face* attribute table first (one cheap gather over F
+rows), then do a single per-pixel row-gather from it.
+
+Fully differentiable w.r.t. texture values; UV sampling also differentiates
+w.r.t. vertex UVs through the bilinear weights.
 
 Sampling consumes ``Fragments`` (see ops/rasterize.py): ``pix_to_face``
 (N, H, W, K) per-mesh face indices (-1 = empty) and ``bary_coords``
@@ -22,19 +27,28 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["TexturesVertex", "TexturesUV", "TexturesAtlas"]
+from pertrenderer_tpu.ops.gather import (
+    take_rows,
+    take_rows_batched,
+    take_rows_cm_batched,
+)
+
+__all__ = ["TexturesVertex", "TexturesUV", "TexturesAtlas", "Textures",
+           "interpolate_face_attributes", "interpolate_face_attributes_cm"]
 
 
-def _gather_face_attrs(attrs: jnp.ndarray, faces: jnp.ndarray,
-                       pix_to_face: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-vertex attributes for the 3 corners of each fragment's face.
+def interpolate_face_attributes_cm(pix_to_face, w0, w1, w2, face_attrs):
+    """Channel-major barycentric interpolation.
 
-    attrs: (V, C) per-vertex values; faces: (F, 3); pix_to_face: (H, W, K).
-    Returns (H, W, K, 3, C).  Negative face indices read face 0 (callers mask).
-    """
-    safe_face = jnp.maximum(pix_to_face, 0)
-    face_verts = faces[safe_face]              # (H, W, K, 3)
-    return attrs[face_verts]                   # (H, W, K, 3, C)
+    pix_to_face, w0..w2: (N, H, W, K); face_attrs: (N, F, 3, C).
+    Returns (C, N, H, W, K) — channels on the (cheaply padded) leading axis,
+    pixels lane-aligned.  Zero where empty (take_rows masks -1)."""
+    n, f = face_attrs.shape[0], face_attrs.shape[1]
+    c = face_attrs.shape[-1]
+    vals = take_rows_cm_batched(
+        face_attrs.reshape(n, f, 3 * c), pix_to_face)   # (3C, N, H, W, K)
+    vals = vals.reshape((3, c) + pix_to_face.shape)
+    return w0 * vals[0] + w1 * vals[1] + w2 * vals[2]
 
 
 def interpolate_face_attributes(
@@ -48,15 +62,12 @@ def interpolate_face_attributes(
     Mirrors PyTorch3D's ``interpolate_face_attributes`` consumed through
     ``phong_shading`` (`/root/reference/randomras/random_rasterizer.py:103`).
     """
-    safe_face = jnp.maximum(pix_to_face, 0)
-
-    def _one(attrs_n, face_n, bary_n):
-        vals = attrs_n[face_n]                 # (H, W, K, 3, C)
-        return jnp.einsum("hwkv,hwkvc->hwkc", bary_n, vals)
-
-    out = jax.vmap(_one)(face_attrs, safe_face, bary_coords)
-    mask = (pix_to_face >= 0)[..., None].astype(out.dtype)
-    return out * mask
+    n, f = face_attrs.shape[0], face_attrs.shape[1]
+    c = face_attrs.shape[-1]
+    vals = take_rows_batched(face_attrs.reshape(n, f, 3 * c), pix_to_face)
+    vals = vals.reshape(pix_to_face.shape + (3, c))
+    # take_rows already zeroes empty (-1) fragments.
+    return jnp.einsum("...v,...vc->...c", bary_coords, vals)
 
 
 @struct.dataclass
@@ -71,13 +82,17 @@ class TexturesVertex:
 
     def sample(self, faces: jnp.ndarray, pix_to_face: jnp.ndarray,
                bary_coords: jnp.ndarray) -> jnp.ndarray:
-        def _one(feats_n, faces_n, p2f_n, bary_n):
-            vals = _gather_face_attrs(feats_n, faces_n, p2f_n)
-            return jnp.einsum("hwkv,hwkvc->hwkc", bary_n, vals)
+        face_attrs = take_rows_batched(self.verts_features,
+                                       jnp.maximum(faces, 0))  # (N, F, 3, C)
+        return interpolate_face_attributes(pix_to_face, bary_coords,
+                                           face_attrs)
 
-        texels = jax.vmap(_one)(self.verts_features, faces, pix_to_face, bary_coords)
-        mask = (pix_to_face >= 0)[..., None].astype(texels.dtype)
-        return texels * mask
+    def sample_cm(self, faces, pix_to_face, w0, w1, w2) -> jnp.ndarray:
+        """Channel-major sampling: (C, N, H, W, K)."""
+        face_attrs = take_rows_batched(self.verts_features,
+                                       jnp.maximum(faces, 0))
+        return interpolate_face_attributes_cm(pix_to_face, w0, w1, w2,
+                                              face_attrs)
 
     def extend(self, n: int) -> "TexturesVertex":
         return TexturesVertex(jnp.repeat(self.verts_features, n, axis=0))
@@ -100,34 +115,75 @@ class TexturesUV:
     def sample(self, faces: jnp.ndarray, pix_to_face: jnp.ndarray,
                bary_coords: jnp.ndarray) -> jnp.ndarray:
         del faces  # UV topology has its own face index buffer.
+        n = self.maps.shape[0]
+        hm, wm, c = self.maps.shape[1], self.maps.shape[2], self.maps.shape[3]
 
-        def _one(map_n, verts_uvs_n, faces_uvs_n, p2f_n, bary_n):
-            safe_face = jnp.maximum(p2f_n, 0)
-            uv_corners = verts_uvs_n[faces_uvs_n[safe_face]]     # (H, W, K, 3, 2)
-            uv = jnp.einsum("hwkv,hwkvc->hwkc", bary_n, uv_corners)  # (H, W, K, 2)
-            hm, wm = map_n.shape[0], map_n.shape[1]
-            # OBJ convention: v=0 is the bottom row of the image.
-            x = uv[..., 0] * (wm - 1)
-            y = (1.0 - uv[..., 1]) * (hm - 1)
-            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wm - 1)
-            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, hm - 1)
-            x1 = jnp.clip(x0 + 1, 0, wm - 1)
-            y1 = jnp.clip(y0 + 1, 0, hm - 1)
-            fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
-            fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
-            c00 = map_n[y0, x0]
-            c01 = map_n[y0, x1]
-            c10 = map_n[y1, x0]
-            c11 = map_n[y1, x1]
-            top = c00 * (1 - fx) + c01 * fx
-            bot = c10 * (1 - fx) + c11 * fx
-            return top * (1 - fy) + bot * fy
+        # Per-face UV corner table, then one per-pixel gather.
+        uv_corners = take_rows_batched(self.verts_uvs,
+                                       jnp.maximum(self.faces_uvs, 0))
+        f = uv_corners.shape[1]
+        uv_pix = take_rows_batched(uv_corners.reshape(n, f, 6), pix_to_face)
+        uv_pix = uv_pix.reshape(pix_to_face.shape + (3, 2))
+        uv = jnp.einsum("...v,...vc->...c", bary_coords, uv_pix)  # (..., 2)
 
-        texels = jax.vmap(_one)(
-            self.maps, self.verts_uvs, self.faces_uvs, pix_to_face, bary_coords
-        )
-        mask = (pix_to_face >= 0)[..., None].astype(texels.dtype)
-        return texels * mask
+        # Bilinear fetch: 4 corner texels in ONE row-gather from the
+        # linearized map.
+        x = uv[..., 0] * (wm - 1)
+        y = (1.0 - uv[..., 1]) * (hm - 1)     # OBJ: v=0 is the bottom row
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wm - 1)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, hm - 1)
+        x1 = jnp.clip(x0 + 1, 0, wm - 1)
+        y1 = jnp.clip(y0 + 1, 0, hm - 1)
+        fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+        fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+        corners = jnp.stack([
+            y0 * wm + x0, y0 * wm + x1, y1 * wm + x0, y1 * wm + x1,
+        ], axis=-1)                                        # (..., 4)
+        # Keep empty fragments masked through the gather.
+        corners = jnp.where((pix_to_face >= 0)[..., None], corners, -1)
+        texels4 = take_rows_batched(self.maps.reshape(n, hm * wm, c), corners)
+        c00, c01, c10, c11 = (texels4[..., i, :] for i in range(4))
+        top = c00 * (1 - fx) + c01 * fx
+        bot = c10 * (1 - fx) + c11 * fx
+        return top * (1 - fy) + bot * fy
+
+    def sample_cm(self, faces, pix_to_face, w0, w1, w2) -> jnp.ndarray:
+        """Channel-major UV sampling: (C, N, H, W, K)."""
+        del faces
+        n = self.maps.shape[0]
+        hm, wm, c = self.maps.shape[1], self.maps.shape[2], self.maps.shape[3]
+        uv_corners = take_rows_batched(self.verts_uvs,
+                                       jnp.maximum(self.faces_uvs, 0))
+        f = uv_corners.shape[1]
+        uv2 = take_rows_cm_batched(uv_corners.reshape(n, f, 6), pix_to_face)
+        uv2 = uv2.reshape((3, 2) + pix_to_face.shape)     # (corner, uv, ...)
+        u = w0 * uv2[0, 0] + w1 * uv2[1, 0] + w2 * uv2[2, 0]
+        v = w0 * uv2[0, 1] + w1 * uv2[1, 1] + w2 * uv2[2, 1]
+
+        x = u * (wm - 1)
+        y = (1.0 - v) * (hm - 1)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wm - 1)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, hm - 1)
+        x1 = jnp.clip(x0 + 1, 0, wm - 1)
+        y1 = jnp.clip(y0 + 1, 0, hm - 1)
+        fx = jnp.clip(x - x0, 0.0, 1.0)
+        fy = jnp.clip(y - y0, 0.0, 1.0)
+        # Corner-major index stack (4, N, H, W, K) — one gather call, no
+        # 4-wide trailing dim.
+        corners = jnp.stack([
+            y0 * wm + x0, y0 * wm + x1, y1 * wm + x0, y1 * wm + x1,
+        ], axis=0)
+        corners = jnp.where((pix_to_face >= 0)[None], corners, -1)
+        map_flat = self.maps.reshape(n, hm * wm, c)
+        # Batched gather expects the batch axis first; fold the corner axis
+        # into the index shape by moving batch out front.
+        texels = take_rows_cm_batched(
+            map_flat, jnp.moveaxis(corners, 1, 0))        # (C, N, 4, H, W, K)
+        texels = jnp.moveaxis(texels, 2, 1)               # (C, 4, N, H, W, K)
+        c00, c01, c10, c11 = (texels[:, i] for i in range(4))
+        top = c00 * (1 - fx) + c01 * fx
+        bot = c10 * (1 - fx) + c11 * fx
+        return top * (1 - fy) + bot * fy
 
     def extend(self, n: int) -> "TexturesUV":
         return TexturesUV(
@@ -152,25 +208,32 @@ class TexturesAtlas:
     def sample(self, faces: jnp.ndarray, pix_to_face: jnp.ndarray,
                bary_coords: jnp.ndarray) -> jnp.ndarray:
         del faces
+        n, f, r = self.atlas.shape[0], self.atlas.shape[1], self.atlas.shape[2]
+        c = self.atlas.shape[-1]
+        w = jnp.clip(bary_coords, 0.0, 1.0)
+        xi = jnp.clip((w[..., 1] * r).astype(jnp.int32), 0, r - 1)
+        yi = jnp.clip((w[..., 2] * r).astype(jnp.int32), 0, r - 1)
+        lin = pix_to_face * (r * r) + yi * r + xi
+        lin = jnp.where(pix_to_face >= 0, lin, -1)
+        return take_rows_batched(self.atlas.reshape(n, f * r * r, c), lin)
 
-        def _one(atlas_n, p2f_n, bary_n):
-            r = atlas_n.shape[1]
-            safe_face = jnp.maximum(p2f_n, 0)
-            w = jnp.clip(bary_n, 0.0, 1.0)
-            # PyTorch3D quantization: x from w1(+w2 compensation), y from w2.
-            xi = jnp.clip((w[..., 1] * r).astype(jnp.int32), 0, r - 1)
-            yi = jnp.clip((w[..., 2] * r).astype(jnp.int32), 0, r - 1)
-            return atlas_n[safe_face, yi, xi]
-
-        texels = jax.vmap(_one)(self.atlas, pix_to_face, bary_coords)
-        mask = (pix_to_face >= 0)[..., None].astype(texels.dtype)
-        return texels * mask
+    def sample_cm(self, faces, pix_to_face, w0, w1, w2) -> jnp.ndarray:
+        """Channel-major atlas sampling: (C, N, H, W, K)."""
+        del faces
+        n, f, r = self.atlas.shape[0], self.atlas.shape[1], self.atlas.shape[2]
+        c = self.atlas.shape[-1]
+        xi = jnp.clip((jnp.clip(w1, 0.0, 1.0) * r).astype(jnp.int32), 0, r - 1)
+        yi = jnp.clip((jnp.clip(w2, 0.0, 1.0) * r).astype(jnp.int32), 0, r - 1)
+        lin = pix_to_face * (r * r) + yi * r + xi
+        lin = jnp.where(pix_to_face >= 0, lin, -1)
+        return take_rows_cm_batched(self.atlas.reshape(n, f * r * r, c), lin)
 
     def extend(self, n: int) -> "TexturesAtlas":
         return TexturesAtlas(jnp.repeat(self.atlas, n, axis=0))
 
 
-# Back-compat alias: PyTorch3D 0.4 exposed `Textures(verts_uvs, faces_uvs, maps)`
-# which the reference uses for the cube (`/root/reference/experiments/eval.py:755`).
+# Back-compat alias: PyTorch3D 0.4 exposed `Textures(verts_uvs, faces_uvs,
+# maps)` which the reference uses for the cube
+# (`/root/reference/experiments/eval.py:755`).
 def Textures(maps=None, verts_uvs=None, faces_uvs=None):
     return TexturesUV(maps=maps, verts_uvs=verts_uvs, faces_uvs=faces_uvs)

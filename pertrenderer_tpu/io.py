@@ -257,12 +257,16 @@ def cube_texture_image(strip_px: int = 16, height: int = 8) -> np.ndarray:
 
 def load_cube() -> Meshes:
     """The Rubik's-cube test asset (procedural equivalent of
-    `/root/reference/experiments/eval.py:727-757`)."""
+    `/root/reference/experiments/eval.py:727-757`).
+
+    ``atlas_size=8`` turns on the baked-atlas fast path — exact here because
+    each cube face maps to a constant texture strip."""
     verts, faces, verts_uvs, faces_uvs = cube_mesh_data()
     tex = TexturesUV(
         maps=cube_texture_image()[None],
         verts_uvs=verts_uvs[None],
         faces_uvs=faces_uvs[None],
+        atlas_size=8,
     )
     return Meshes.create(verts, faces, textures=tex)
 

@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["take_rows", "take_rows_cm", "take_rows_batched", "MAX_ONEHOT_ROWS"]
 
-_TILE_P = 2048     # pixel-tile columns per grid step (16 f32 lanes-tiles)
+_TILE_P = 2048     # pixel columns per inner row (16 f32 lane-tiles)
+_ROWS = 8          # inner rows per grid step (sublane-aligned idx blocks)
+_SUPER_P = _ROWS * _TILE_P
 _TILE_F = 128      # face-chunk rows per grid step (MXU-width)
 
 # Above this table size the dense one-hot matmul wastes more FLOPs than the
@@ -53,24 +55,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gather_cm_kernel(idx_ref, table_ref, out_ref):
-    """out[:, p] = table_t[:, idx[p]] for one pixel tile, accumulated over
-    face chunks.  idx block (1, TILE_P); table_t block (d_pad, TILE_F); out
-    block (d_pad, TILE_P)."""
+    """out[:, p] = table_t[:, idx[p]] for one pixel super-tile, accumulated
+    over face chunks.  idx block (1, ROWS, TILE_P); table_t block
+    (d_pad, TILE_F); out block (d_pad, SUPER_P)."""
     f_chunk = pl.program_id(1)
 
     @pl.when(f_chunk == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]                                    # (1, TILE_P)
     base = f_chunk * _TILE_F
-    row = jax.lax.broadcasted_iota(jnp.int32, (_TILE_F, _TILE_P), 0) + base
-    oh = (idx == row).astype(table_ref.dtype)           # (TILE_F, TILE_P)
-    # HIGHEST precision: the MXU otherwise truncates f32 operands to bf16 —
-    # one-hot selection must reproduce table rows exactly.
-    out_ref[:] += jax.lax.dot_general(
-        table_ref[:], oh, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_F, _TILE_P), 0) + base
+    table = table_ref[:]
+    idx = idx_ref[0]                                    # (ROWS, TILE_P)
+    for r in range(_ROWS):
+        oh = (idx[r:r + 1, :] == row_iota).astype(table.dtype)
+        # HIGHEST precision: the MXU otherwise truncates f32 to bf16 —
+        # one-hot selection must reproduce table rows exactly.
+        out_ref[:, r * _TILE_P:(r + 1) * _TILE_P] += jax.lax.dot_general(
+            table, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
 
 
 def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -79,21 +84,21 @@ def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     p = idx.shape[0]
     f_pad = _round_up(max(f, _TILE_F), _TILE_F)
     d_pad = _round_up(d, 8)
-    p_pad = _round_up(max(p, _TILE_P), _TILE_P)
+    p_pad = _round_up(max(p, _SUPER_P), _SUPER_P)
     table_p = jnp.zeros((d_pad, f_pad), table_t.dtype).at[:d, :f].set(table_t)
     idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
-        idx.astype(jnp.int32)).reshape(p_pad // _TILE_P, _TILE_P)
+        idx.astype(jnp.int32)).reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
 
     out = pl.pallas_call(
         _gather_cm_kernel,
-        grid=(p_pad // _TILE_P, f_pad // _TILE_F),
+        grid=(p_pad // _SUPER_P, f_pad // _TILE_F),
         in_specs=[
-            pl.BlockSpec((1, _TILE_P), lambda i, j: (i, 0),
+            pl.BlockSpec((1, _ROWS, _TILE_P), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, _TILE_F), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d_pad, _TILE_P), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((d_pad, _SUPER_P), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d_pad, p_pad), jnp.float32),
     )(idx_p, table_p)
@@ -102,7 +107,7 @@ def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _scatter_cm_kernel(idx_ref, g_ref, out_ref):
     """d_table_t[:, f] += sum_{p: idx[p]==f} g[:, p] — transposed one-hot
-    matmul, accumulated over pixel tiles."""
+    matmul, accumulated over pixel super-tiles."""
     p_chunk = pl.program_id(1)
 
     @pl.when(p_chunk == 0)
@@ -110,14 +115,16 @@ def _scatter_cm_kernel(idx_ref, g_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     f_chunk = pl.program_id(0)
-    idx = idx_ref[:]                                    # (1, TILE_P)
     base = f_chunk * _TILE_F
-    row = jax.lax.broadcasted_iota(jnp.int32, (_TILE_F, _TILE_P), 0) + base
-    oh = (idx == row).astype(g_ref.dtype)               # (TILE_F, TILE_P)
-    # (d_pad, TILE_F) += g (d_pad, TILE_P) @ oh^T
-    out_ref[:] += jax.lax.dot_general(
-        g_ref[:], oh, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_F, _TILE_P), 0) + base
+    idx = idx_ref[0]                                    # (ROWS, TILE_P)
+    for r in range(_ROWS):
+        oh = (idx[r:r + 1, :] == row_iota).astype(g_ref.dtype)
+        g_r = g_ref[:, r * _TILE_P:(r + 1) * _TILE_P]   # (d_pad, TILE_P)
+        out_ref[:] += jax.lax.dot_general(
+            g_r, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
 
 
 def _pallas_scatter_rows_cm(g: jnp.ndarray, idx: jnp.ndarray, f: int) -> jnp.ndarray:
@@ -125,18 +132,18 @@ def _pallas_scatter_rows_cm(g: jnp.ndarray, idx: jnp.ndarray, f: int) -> jnp.nda
     d, p = g.shape
     f_pad = _round_up(max(f, _TILE_F), _TILE_F)
     d_pad = _round_up(d, 8)
-    p_pad = _round_up(max(p, _TILE_P), _TILE_P)
+    p_pad = _round_up(max(p, _SUPER_P), _SUPER_P)
     g_p = jnp.zeros((d_pad, p_pad), g.dtype).at[:d, :p].set(g)
     idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
-        idx.astype(jnp.int32)).reshape(p_pad // _TILE_P, _TILE_P)
+        idx.astype(jnp.int32)).reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
 
     out = pl.pallas_call(
         _scatter_cm_kernel,
-        grid=(f_pad // _TILE_F, p_pad // _TILE_P),
+        grid=(f_pad // _TILE_F, p_pad // _SUPER_P),
         in_specs=[
-            pl.BlockSpec((1, _TILE_P), lambda i, j: (j, 0),
+            pl.BlockSpec((1, _ROWS, _TILE_P), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, _TILE_P), lambda i, j: (0, j),
+            pl.BlockSpec((d_pad, _SUPER_P), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((d_pad, _TILE_F), lambda i, j: (0, i),

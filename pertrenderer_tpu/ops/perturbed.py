@@ -93,6 +93,22 @@ def _device_key(key, sample_axis):
     return jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
 
 
+def _use_pallas(noise_type: str, need_grad: bool = False) -> bool:
+    """Fused Pallas estimator kernels run on TPU; CPU (tests) uses the jnp
+    scan fallback.  Gradient kernels exist for gaussian/cauchy (the families
+    the reference differentiates, smoothrast.py:45-52, smoothagg.py:50-63)."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+    if not on_tpu:
+        return False
+    if need_grad:
+        return noise_type in ("gaussian", "cauchy")
+    return noise_type in ("gaussian", "cauchy", "logistic", "gumbel",
+                          "uniform")
+
+
 def _axis_mean(x, sample_axis):
     return x if sample_axis is None else jax.lax.pmean(x, sample_axis)
 
@@ -123,8 +139,18 @@ def perturbed_heaviside(distances, noise_intensity, key, nb_samples=1,
     With ``sample_axis`` set (a mesh axis name inside shard_map), ``nb_samples``
     is the per-device count and the sample mean is ``pmean``'d across the axis
     — mathematically exact since the estimator is a sample mean.
+
+    On TPU the sample loop runs as a fused Pallas kernel with on-core PRNG
+    (ops/perturbed_pallas.py); elsewhere as a lax.scan.
     """
     key = _device_key(key, sample_axis)
+
+    if _use_pallas(noise_type):
+        from pertrenderer_tpu.ops.perturbed_pallas import heaviside_mean_pallas
+
+        out = heaviside_mean_pallas(distances, noise_intensity, key,
+                                    nb_samples, noise_type)
+        return _axis_mean(out, sample_axis)
 
     def body(acc, s):
         z = _sample_noise(jax.random.fold_in(key, s), distances.shape, noise_type)
@@ -145,16 +171,27 @@ def _ph_fwd(distances, noise_intensity, key, nb_samples, noise_type,
 def _ph_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
     distances, noise_intensity, key = res
     key = _device_key(key, sample_axis)
-    h0 = heaviside(distances) if variance_reduction else jnp.zeros_like(distances)
 
-    def body(acc, s):
-        z = _sample_noise(jax.random.fold_in(key, s), distances.shape, noise_type)
-        h = heaviside(distances + noise_intensity * z)
-        return acc + (h - h0) * _score(z, noise_type), None
+    if _use_pallas(noise_type, need_grad=True):
+        from pertrenderer_tpu.ops.perturbed_pallas import heaviside_coeff_pallas
 
-    acc, _ = jax.lax.scan(body, jnp.zeros_like(distances),
-                          jnp.arange(nb_samples))
-    coeff = _axis_mean(acc / (nb_samples * noise_intensity), sample_axis)
+        coeff = heaviside_coeff_pallas(distances, noise_intensity, key,
+                                       nb_samples, noise_type,
+                                       variance_reduction)
+    else:
+        h0 = (heaviside(distances) if variance_reduction
+              else jnp.zeros_like(distances))
+
+        def body(acc, s):
+            z = _sample_noise(jax.random.fold_in(key, s), distances.shape,
+                              noise_type)
+            h = heaviside(distances + noise_intensity * z)
+            return acc + (h - h0) * _score(z, noise_type), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros_like(distances),
+                              jnp.arange(nb_samples))
+        coeff = acc / (nb_samples * noise_intensity)
+    coeff = _axis_mean(coeff, sample_axis)
     grad_d = coeff * g
     grad_sigma = jnp.sum(grad_d)
     return grad_d, grad_sigma, None
@@ -191,8 +228,21 @@ def perturbed_argmax(z, noise_intensity, key, nb_samples=1,
 
     With ``sample_axis`` set, ``nb_samples`` is per-device and sample means
     (forward and backward accumulators) are ``pmean``'d across the mesh axis.
+
+    On TPU the sample loop runs as a fused channel-major Pallas kernel with
+    on-core PRNG (ops/perturbed_pallas.py); elsewhere as a lax.scan.
     """
     key = _device_key(key, sample_axis)
+
+    if _use_pallas(noise_type):
+        from pertrenderer_tpu.ops.perturbed_pallas import argmax_mean_pallas
+
+        c = z.shape[-1]
+        z_cm = jnp.moveaxis(z, -1, 0).reshape(c, -1)
+        out = argmax_mean_pallas(z_cm, noise_intensity, key, nb_samples,
+                                 noise_type)
+        out = jnp.moveaxis(out.reshape((c,) + z.shape[:-1]), 0, -1)
+        return _axis_mean(out, sample_axis)
 
     def body(acc, s):
         noise = _sample_noise(jax.random.fold_in(key, s), z.shape, noise_type)
@@ -217,6 +267,21 @@ def _pa_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
         raise NotImplementedError(
             f"backward for noise type {noise_type!r} not implemented "
             "(forward-only in the reference as well)")
+
+    if _use_pallas(noise_type, need_grad=True):
+        from pertrenderer_tpu.ops.perturbed_pallas import argmax_grads_pallas
+
+        c = z.shape[-1]
+        z_cm = jnp.moveaxis(z, -1, 0).reshape(c, -1)
+        g_cm = jnp.moveaxis(g, -1, 0).reshape(c, -1)
+        gz_cm, gterm = argmax_grads_pallas(
+            z_cm, g_cm, noise_intensity, key, nb_samples, noise_type,
+            variance_reduction)
+        grad_z = jnp.moveaxis(gz_cm.reshape((c,) + z.shape[:-1]), 0, -1)
+        grad_z = _axis_mean(grad_z, sample_axis)
+        grad_gamma = _axis_mean(jnp.sum(gterm), sample_axis)
+        return grad_z, grad_gamma, None
+
     w0 = hard_argmax_onehot(z) if variance_reduction else jnp.zeros_like(z)
     # NOTE: the reference's Cauchy branch always subtracts the control variate
     # even in the _wovr variant (smoothagg.py:125-128); we follow the flag.

@@ -2,9 +2,13 @@
 
 Config per BASELINE.json: 256^2 image, faces_per_pixel=50, cube scene,
 GaussianRast + GaussianAgg (S=8 MC samples), gradients w.r.t. pose AND the
-smoothing parameters — one fused jitted step, matching the reference's
-per-iteration work (`/root/reference/experiments/eval.py:349-369`) with zero
-host round-trips.
+smoothing parameters — matching the reference's per-iteration work
+(`/root/reference/experiments/eval.py:349-369`) with zero host round-trips.
+
+Measurement: iterations run inside a jitted ``lax.scan`` (exactly how the
+pose optimizer runs) and per-iteration time is the slope between two scan
+lengths with the final loss fetched to host — this backend resolves
+``block_until_ready`` lazily, so naive dispatch loops under-measure.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 5000 renders/sec north star.
@@ -20,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_step(image_size=256, faces_per_pixel=50, nb_samples=8):
+def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
     import pertrenderer_tpu as pt
     from pertrenderer_tpu.transforms import Rotate, so3_exp_map
 
@@ -55,43 +59,40 @@ def build_step(image_size=256, faces_per_pixel=50, nb_samples=8):
         images = renderer(pred, key=key, cameras=cameras, lights=lights)
         return jnp.mean((images[..., :3] - target) ** 2)
 
-    @jax.jit
-    def step(log_rot, renderer, key):
-        key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            log_rot, renderer, sub)
-        return loss, grads[0], key
+    def make(n):
+        @jax.jit
+        def run(log_rot, key):
+            def body(carry, _):
+                log_rot, key = carry
+                key, sub = jax.random.split(key)
+                loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    log_rot, renderer, sub)
+                log_rot = log_rot - 1e-6 * grads[0]
+                return (log_rot, key), loss
+            (log_rot, _), losses = jax.lax.scan(
+                body, (log_rot, key), None, length=n)
+            return jnp.sum(losses) + jnp.sum(log_rot)
+        return run
 
-    return step, renderer
+    return make
 
 
 def main():
-    step, renderer = build_step()
-    log_rot = jnp.zeros((1, 3))
-    key = jax.random.PRNGKey(0)
-
-    # compile
-    t0 = time.time()
-    loss, g, key = step(log_rot, renderer, key)
-    jax.block_until_ready(loss)
-    compile_time = time.time() - t0
-    print(f"compile: {compile_time:.1f}s device={jax.devices()[0]}",
-          file=sys.stderr)
-
-    # calibrate iteration count to ~5s
-    t0 = time.time()
-    for _ in range(5):
-        loss, g, key = step(log_rot, renderer, key)
-    jax.block_until_ready(loss)
-    per = (time.time() - t0) / 5
-    n = max(10, min(2000, int(5.0 / max(per, 1e-6))))
-
-    t0 = time.time()
-    for _ in range(n):
-        loss, g, key = step(log_rot, renderer, key)
-    jax.block_until_ready(loss)
-    elapsed = time.time() - t0
-    renders_per_sec = n / elapsed
+    make = build_scan()
+    x0 = jnp.zeros((1, 3))
+    k0 = jax.random.PRNGKey(0)
+    n1, n2 = 3, 23
+    times = {}
+    for n in (n1, n2):
+        run = make(n)
+        t0 = time.time()
+        _ = float(run(x0, k0))  # compile + first run
+        print(f"compile+run n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time(); _ = float(run(x0, k0)); t1 = time.time()
+        _ = float(run(x0, k0)); t2 = time.time()
+        times[n] = min(t1 - t0, t2 - t1)
+    per_iter = (times[n2] - times[n1]) / (n2 - n1)
+    renders_per_sec = 1.0 / max(per_iter, 1e-9)
 
     print(json.dumps({
         "metric": "fwd+bwd perturbed renders/sec/chip @256^2 K=50 S=8",

@@ -85,9 +85,17 @@ def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     f_pad = _round_up(max(f, _TILE_F), _TILE_F)
     d_pad = _round_up(d, 8)
     p_pad = _round_up(max(p, _SUPER_P), _SUPER_P)
-    table_p = jnp.zeros((d_pad, f_pad), table_t.dtype).at[:d, :f].set(table_t)
-    idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
-        idx.astype(jnp.int32)).reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
+    if (f_pad, d_pad) == (f, d):
+        table_p = table_t
+    else:
+        table_p = jnp.zeros((d_pad, f_pad), table_t.dtype).at[:d, :f].set(
+            table_t)
+    idx = idx.astype(jnp.int32)
+    if p_pad == p:
+        idx_p = idx.reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
+    else:
+        idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(idx).reshape(
+            p_pad // _SUPER_P, _ROWS, _TILE_P)
 
     out = pl.pallas_call(
         _gather_cm_kernel,
@@ -133,9 +141,16 @@ def _pallas_scatter_rows_cm(g: jnp.ndarray, idx: jnp.ndarray, f: int) -> jnp.nda
     f_pad = _round_up(max(f, _TILE_F), _TILE_F)
     d_pad = _round_up(d, 8)
     p_pad = _round_up(max(p, _SUPER_P), _SUPER_P)
-    g_p = jnp.zeros((d_pad, p_pad), g.dtype).at[:d, :p].set(g)
-    idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(
-        idx.astype(jnp.int32)).reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
+    if (d_pad, p_pad) == (d, p):
+        g_p = g
+    else:
+        g_p = jnp.zeros((d_pad, p_pad), g.dtype).at[:d, :p].set(g)
+    idx = idx.astype(jnp.int32)
+    if p_pad == p:
+        idx_p = idx.reshape(p_pad // _SUPER_P, _ROWS, _TILE_P)
+    else:
+        idx_p = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(idx).reshape(
+            p_pad // _SUPER_P, _ROWS, _TILE_P)
 
     out = pl.pallas_call(
         _scatter_cm_kernel,

@@ -110,8 +110,9 @@ def _key_seeds(key):
 def _flatten_super(x):
     n = x.size
     n_pad = _round_up(max(n, _SUPER), _SUPER)
-    flat = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
-        x.reshape(-1).astype(jnp.float32))
+    flat = x.reshape(-1).astype(jnp.float32)
+    if n_pad != n:
+        flat = jnp.zeros((n_pad,), jnp.float32).at[:n].set(flat)
     return flat.reshape(n_pad // _TILE_P, _TILE_P), n
 
 

@@ -59,19 +59,19 @@ def phong_shading_cm(meshes, pfrag, texels_cm, lights, cameras, materials):
     p2f = pfrag.pix_to_face
     w0, w1, w2 = pfrag.w0, pfrag.w1, pfrag.w2
 
-    # Per-face corner tables (N, F, 3, 3): verts and vertex normals.
+    # Per-face corner tables (N, F, 3, 3) for verts AND vertex normals,
+    # concatenated so the per-pixel gather runs ONCE (they share pix_to_face).
     from pertrenderer_tpu.ops.gather import take_rows_batched
 
     verts_table = take_rows_batched(meshes.verts, faces)           # (N,F,3,3)
     normals_table = take_rows_batched(meshes.verts_normals(), faces)
-
-    def interp_cm(table):
-        vals = take_rows_cm_batched(table.reshape(n, f, 9), p2f)
-        vals = vals.reshape((3, 3) + p2f.shape)        # (corner, xyz, ...)
-        return w0 * vals[0] + w1 * vals[1] + w2 * vals[2]   # (3, N,H,W,K)
-
-    points = interp_cm(verts_table)
-    normals = interp_cm(normals_table)
+    merged = jnp.concatenate(
+        [verts_table.reshape(n, f, 9), normals_table.reshape(n, f, 9)],
+        axis=-1)                                                   # (N,F,18)
+    vals = take_rows_cm_batched(merged, p2f)           # (18, N, H, W, K)
+    vals = vals.reshape((2, 3, 3) + p2f.shape)         # (which, corner, xyz)
+    points = w0 * vals[0, 0] + w1 * vals[0, 1] + w2 * vals[0, 2]
+    normals = w0 * vals[1, 0] + w1 * vals[1, 1] + w2 * vals[1, 2]
 
     if not isinstance(lights, PointLights):
         raise NotImplementedError(

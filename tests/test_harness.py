@@ -1,0 +1,104 @@
+"""End-to-end experiment harness tests (small configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pertrenderer_tpu as pt
+from pertrenderer_tpu.experiments import harness
+
+
+def _setup(imsize=40, noise=("gaussian",)):
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    meshes, cameras, lights, target_rgb, r_true, elev, azim = \
+        harness.init_target(k1, imsize=imsize)
+    log_rot_init, renderers = harness.init_renderers(
+        cameras[0], lights, r_true, k2, pert_init_intensity=20.0,
+        sigma=1e-3, gamma=1e-2, nb_samples=4, noise_type=noise,
+        imsize=imsize, faces_per_pixel=20)
+    return meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers
+
+
+def test_pose_opt_reduces_angle_error():
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup()
+    res = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                renderers[0], target_rgb, Niter=120,
+                                lr_init=3e-2, adapt_reg=False)
+    ang0 = float(pt.so3_relative_angle(pt.so3_exp_map(log_rot_init),
+                                       r_true)[0]) * 180 / np.pi
+    ang1 = float(pt.so3_relative_angle(pt.so3_exp_map(res.best_log_rot),
+                                       r_true)[0]) * 180 / np.pi
+    assert ang1 < ang0 * 0.75, (ang0, ang1)
+    assert res.losses.shape == (120,)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < res.losses[0]
+
+
+def test_pose_opt_annealing_runs():
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup()
+    res = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                renderers[0], target_rgb, Niter=160,
+                                lr_init=3e-2, adapt_reg=True,
+                                adapt_params=(1.1, 1.1))
+    assert res.losses.shape == (160,)
+    assert np.isfinite(res.losses).all()
+
+
+def test_renderer_bank_all_noise_types():
+    noise = ("cauchy", "gaussian", "gaussian_wovr", "uniform", "hard",
+             "softras")
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup(noise=noise)
+    assert len(renderers) == len(noise)
+    for nt, renderer in zip(noise, renderers):
+        img = renderer(meshes, key=jax.random.PRNGKey(0),
+                       cameras=cameras[0], lights=lights)
+        assert np.isfinite(np.asarray(img)).all(), nt
+        assert img.shape[-1] == 4
+
+
+def test_scene_params_light_gradients():
+    """The de-facto integration test of the reference
+    (`/root/reference/experiments/eval.py:693-725`): light position receives
+    gradients and the loss decreases."""
+    key = jax.random.PRNGKey(2)
+    param_to_check = {"camera": False, "vertices": False, "textures": False,
+                      "light": True}
+    (src_mesh, deform_init, verts_rgb_init, camera_elev, camera_azim,
+     lights_location) = harness.init_base_mesh_cameras_lights(
+        "sphere", param_to_check)
+    src_mesh = src_mesh.with_textures(
+        pt.TexturesVertex(jnp.ones_like(src_mesh.verts)))
+    _, _, _, target_rgb, _, _, _ = harness.init_target(key, imsize=32)
+    _, renderers = harness.init_renderers(
+        None, None, jnp.eye(3)[None], key, sigma=1e-4, gamma=1e-3,
+        nb_samples=4, noise_type=("gaussian",), imsize=32,
+        faces_per_pixel=10)
+    best, final, losses = harness.optimize_scene_params(
+        src_mesh, camera_elev, camera_azim, lights_location, deform_init,
+        verts_rgb_init, renderers[0], [target_rgb[0][None]], key=key,
+        lr_init=5e-2, Niter=40, param_to_check=param_to_check)
+    assert np.isfinite(losses).all()
+    # the light actually moved
+    assert float(jnp.abs(best["lights_location"] - lights_location).sum()) > 1e-3
+    # frozen params did not move
+    np.testing.assert_allclose(np.asarray(final["deform"]),
+                               np.asarray(deform_init))
+    np.testing.assert_allclose(np.asarray(final["camera_elev"]),
+                               np.asarray(camera_elev))
+
+
+def test_cli_pose_opt(tmp_path):
+    from pertrenderer_tpu.experiments.eval import main
+
+    main(["-et", "pose_opt", "-np", "1", "-ni", "20", "-is", "32",
+          "-sn", "softras", "-eid", "7", "-ar", "0",
+          "--results-dir", str(tmp_path)])
+    import os
+
+    for f in ["angle_error.txt", "solved_percentage.txt", "params.txt",
+              "exp_setup.txt"]:
+        assert os.path.exists(str(tmp_path / "7" / f)), f

@@ -76,9 +76,42 @@ def _parse_mtl(path: str):
 
 def load_obj(path: str, load_textures: bool = True,
              create_texture_atlas: bool = False, texture_atlas_size: int = 4,
-             texture_wrap: str = "repeat"):
+             texture_wrap: str = "repeat", use_native: bool = True):
     """Parse an OBJ file.  Returns (verts, faces, aux) like PyTorch3D's
-    ``load_obj`` (`/root/reference/experiments/eval.py:224-231,296,746`)."""
+    ``load_obj`` (`/root/reference/experiments/eval.py:224-231,296,746`).
+
+    Geometry parsing uses the native C++ parser (pertrenderer_tpu/native)
+    when available — the data-loading hot path for large meshes — with this
+    pure-Python scanner as the fallback."""
+    if use_native:
+        try:
+            from pertrenderer_tpu import native
+
+            nat = native.parse_obj_native(path)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            nat = None
+        if nat is not None:
+            colors: Dict[str, Dict[str, np.ndarray]] = {}
+            images: Dict[str, np.ndarray] = {}
+            if load_textures and nat["mtl"]:
+                mtl_path = os.path.join(os.path.dirname(path), nat["mtl"])
+                colors, images = _parse_mtl(mtl_path)
+            faces = FacesData(verts_idx=nat["faces_v"],
+                              textures_idx=nat["faces_t"],
+                              normals_idx=nat["faces_n"])
+            atlas = None
+            if (create_texture_atlas and nat["uvs"] is not None and images
+                    and len(nat["uvs"])):
+                atlas = _make_texture_atlas(
+                    list(images.values())[0], nat["uvs"], faces.textures_idx,
+                    texture_atlas_size)
+            aux = ObjAux(verts_uvs=nat["uvs"], normals=nat["normals"],
+                         material_colors=colors, texture_images=images,
+                         texture_atlas=atlas)
+            return nat["verts"], faces, aux
+
     verts: List[List[float]] = []
     uvs: List[List[float]] = []
     normals: List[List[float]] = []

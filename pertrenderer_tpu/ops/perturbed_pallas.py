@@ -89,10 +89,12 @@ def _score(noise, noise_type):
     raise ValueError(f"gradient for noise {noise_type!r} not implemented")
 
 
-def _tile_seed(seed_ref):
-    """First seed word mixed with the grid-tile id (Knuth multiplicative
-    hash) for a distinct per-tile stream."""
-    return seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527)
+def _tile_seed(seed_ref, tile_ref):
+    """First seed word mixed with the tile id (Knuth multiplicative hash) for
+    a distinct per-tile stream.  The tile id comes from an INPUT indexed by
+    the pixel-tile grid dim (not program_id) so the kernels stay correct
+    under vmap, which prepends a batch grid dimension."""
+    return seed_ref[0, 0] + tile_ref[0, 0, 0] * jnp.int32(-1640531527)
 
 
 def _heaviside(x):
@@ -100,11 +102,19 @@ def _heaviside(x):
 
 
 def _key_seeds(key):
-    """Two int32 seed words from a JAX PRNG key."""
+    """Two (1, 1) int32 seed words from a JAX PRNG key.  Shaped 2-D so the
+    pallas vmap batching rule produces legal block specs when callers vmap
+    over per-problem keys."""
     data = jax.random.key_data(key) if jnp.issubdtype(
         key.dtype, jax.dtypes.prng_key) else key
     data = data.reshape(-1).astype(jnp.uint32)
-    return jnp.stack([data[0], data[-1]]).astype(jnp.int32)
+    s0 = data[0].astype(jnp.int32).reshape(1, 1)
+    s1 = data[-1].astype(jnp.int32).reshape(1, 1)
+    return s0, s1
+
+
+def _tile_ids(n_tiles):
+    return jnp.arange(n_tiles, dtype=jnp.int32).reshape(n_tiles, 1, 1)
 
 
 def _flatten_super(x):
@@ -120,11 +130,12 @@ def _flatten_super(x):
 # Perturbed Heaviside
 # ---------------------------------------------------------------------------
 
-def _ph_mean_kernel(seed_ref, d_ref, sig_ref, out_ref, *, S, noise_type):
-    s0 = _tile_seed(seed_ref)
-    s1 = seed_ref[1]
+def _ph_mean_kernel(s0_ref, s1_ref, tile_ref, d_ref, sig_ref, out_ref, *,
+                    S, noise_type):
+    s0 = _tile_seed(s0_ref, tile_ref)
+    s1 = s1_ref[0, 0]
     d = d_ref[:]
-    sigma = sig_ref[0]
+    sigma = sig_ref[0, 0]
 
     def body(s, acc):
         z = _sample(d.shape, noise_type, s0, s1, s)
@@ -134,12 +145,12 @@ def _ph_mean_kernel(seed_ref, d_ref, sig_ref, out_ref, *, S, noise_type):
     out_ref[:] = acc * (1.0 / S)
 
 
-def _ph_coeff_kernel(seed_ref, d_ref, sig_ref, out_ref, *, S, noise_type,
-                     variance_reduction):
-    s0 = _tile_seed(seed_ref)
-    s1 = seed_ref[1]
+def _ph_coeff_kernel(s0_ref, s1_ref, tile_ref, d_ref, sig_ref, out_ref, *,
+                     S, noise_type, variance_reduction):
+    s0 = _tile_seed(s0_ref, tile_ref)
+    s1 = s1_ref[0, 0]
     d = d_ref[:]
-    sigma = sig_ref[0]
+    sigma = sig_ref[0, 0]
     h0 = _heaviside(d) if variance_reduction else jnp.zeros_like(d)
 
     def body(s, acc):
@@ -154,21 +165,25 @@ def _ph_coeff_kernel(seed_ref, d_ref, sig_ref, out_ref, *, S, noise_type,
 def _ph_call(kernel, d, sigma, key, S, noise_type, **kw):
     d2, n = _flatten_super(d)
     rows = d2.shape[0]
-    seeds = _key_seeds(key)
-    sig = jnp.reshape(sigma, (1,)).astype(jnp.float32)
+    n_tiles = rows // _ROWS
+    s0, s1 = _key_seeds(key)
+    sig = jnp.reshape(sigma, (1, 1)).astype(jnp.float32)
     out = pl.pallas_call(
         partial(kernel, S=S, noise_type=noise_type, **kw),
-        grid=(rows // _ROWS,),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_ROWS, _TILE_P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_ROWS, _TILE_P), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(d2.shape, jnp.float32),
-    )(seeds, d2, sig)
+    )(s0, s1, _tile_ids(n_tiles), d2, sig)
     return out.reshape(-1)[:n].reshape(d.shape)
 
 
@@ -195,11 +210,12 @@ def _onehot_max(z):
     return (z >= zmax).astype(jnp.float32)
 
 
-def _pa_mean_kernel(seed_ref, z_ref, gam_ref, out_ref, *, S, noise_type):
-    s0 = _tile_seed(seed_ref)
-    s1 = seed_ref[1]
+def _pa_mean_kernel(s0_ref, s1_ref, tile_ref, z_ref, gam_ref, out_ref, *,
+                    S, noise_type):
+    s0 = _tile_seed(s0_ref, tile_ref)
+    s1 = s1_ref[0, 0]
     z = z_ref[:]
-    gamma = gam_ref[0]
+    gamma = gam_ref[0, 0]
 
     def body(s, acc):
         noise = _sample(z.shape, noise_type, s0, s1, s)
@@ -209,13 +225,14 @@ def _pa_mean_kernel(seed_ref, z_ref, gam_ref, out_ref, *, S, noise_type):
     out_ref[:] = acc * (1.0 / S)
 
 
-def _pa_grads_kernel(seed_ref, z_ref, g_ref, gam_ref, cmask_ref,
-                     gz_ref, gg_ref, *, S, noise_type, variance_reduction):
-    s0 = _tile_seed(seed_ref)
-    s1 = seed_ref[1]
+def _pa_grads_kernel(s0_ref, s1_ref, tile_ref, z_ref, g_ref, gam_ref,
+                     cmask_ref, gz_ref, gg_ref, *, S, noise_type,
+                     variance_reduction):
+    s0 = _tile_seed(s0_ref, tile_ref)
+    s1 = s1_ref[0, 0]
     z = z_ref[:]
     g = g_ref[:]
-    gamma = gam_ref[0]
+    gamma = gam_ref[0, 0]
     cmask = cmask_ref[:]                     # (C_pad, 1): 1 for real channels
     w0 = _onehot_max(z) if variance_reduction else jnp.zeros_like(z)
 
@@ -256,21 +273,25 @@ def _pa_prep(z_cm):
 def argmax_mean_pallas(z_cm, gamma, key, S, noise_type):
     """z_cm: (C, P) channel-major.  Returns mean one-hot (C, P)."""
     z_p, _, c, p = _pa_prep(z_cm)
-    seeds = _key_seeds(key)
-    gam = jnp.reshape(gamma, (1,)).astype(jnp.float32)
+    n_tiles = z_p.shape[1] // _TILE_P
+    s0, s1 = _key_seeds(key)
+    gam = jnp.reshape(gamma, (1, 1)).astype(jnp.float32)
     out = pl.pallas_call(
         partial(_pa_mean_kernel, S=S, noise_type=noise_type),
-        grid=(z_p.shape[1] // _TILE_P,),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((z_p.shape[0], _TILE_P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((z_p.shape[0], _TILE_P), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
-    )(seeds, z_p, gam)
+    )(s0, s1, _tile_ids(n_tiles), z_p, gam)
     return out[:c, :p]
 
 
@@ -280,19 +301,23 @@ def argmax_grads_pallas(z_cm, g_cm, gamma, key, S, noise_type,
     grad_gamma = sum(gamma_term) (same noise stream as the forward)."""
     z_p, cmask, c, p = _pa_prep(z_cm)
     g_p = jnp.zeros_like(z_p).at[:c, :p].set(g_cm.astype(jnp.float32))
-    seeds = _key_seeds(key)
-    gam = jnp.reshape(gamma, (1,)).astype(jnp.float32)
+    n_tiles = z_p.shape[1] // _TILE_P
+    s0, s1 = _key_seeds(key)
+    gam = jnp.reshape(gamma, (1, 1)).astype(jnp.float32)
     gz, gg = pl.pallas_call(
         partial(_pa_grads_kernel, S=S, noise_type=noise_type,
                 variance_reduction=variance_reduction),
-        grid=(z_p.shape[1] // _TILE_P,),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((z_p.shape[0], _TILE_P), lambda i: (0, i),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((z_p.shape[0], _TILE_P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((z_p.shape[0], _TILE_P), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((z_p.shape[0], 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -306,5 +331,5 @@ def argmax_grads_pallas(z_cm, g_cm, gamma, key, S, noise_type,
             jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
             jax.ShapeDtypeStruct((8, z_p.shape[1]), jnp.float32),
         ),
-    )(seeds, z_p, g_p, gam, cmask)
+    )(s0, s1, _tile_ids(n_tiles), z_p, g_p, gam, cmask)
     return gz[:c, :p], gg[0, :p]

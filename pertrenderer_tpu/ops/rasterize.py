@@ -121,6 +121,23 @@ class RasterizationSettings:
             return self.blur_radius > 0.0
         return self.clip_barycentric_coords
 
+    def resolve_binning(self, num_faces: int):
+        """(bin_size, max_faces_per_bin) or (0, 0) for the flat path.
+
+        Heuristic mirrors PyTorch3D: binning kicks in for large meshes;
+        ``bin_size=0`` forces the flat path."""
+        if self.bin_size == 0:
+            return 0, 0
+        bin_size = self.bin_size
+        if bin_size is None:
+            if num_faces <= 2048 or self.image_size < 128:
+                return 0, 0
+            bin_size = 32 if self.image_size <= 256 else 64
+        if self.image_size % bin_size != 0 or self.image_size <= bin_size:
+            return 0, 0
+        mfpb = self.max_faces_per_bin or 4096
+        return bin_size, min(mfpb, num_faces)
+
 
 def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NDC coordinates of pixel centers; row 0 / col 0 = top-left = (+1, +1)."""
@@ -178,19 +195,9 @@ def _face_pixel_geometry(px, py, ax, ay, az, bx, by, bz, cx, cy, cz,
     return w0, w1, w2, z, dist, inside, degenerate
 
 
-def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
-                 faces_per_chunk, clip, perspective_correct, cull_backfaces):
-    """Non-differentiable top-K face selection for one mesh.
-
-    verts_ndc: (V, 3); faces: (F, 3) int32 (padding -1).
-    Returns idx (H, W, K) int32 with -1 padding, sorted ascending-z.
-    """
-    h = w = image_size
+def _face_validity(verts_ndc, faces, num_faces, cull_backfaces):
+    """(fv (F, 3, 3), valid (F,)) face table + validity for one mesh."""
     fcount = faces.shape[0]
-    c = min(faces_per_chunk, fcount)
-    n_chunks = -(-fcount // c)
-    pad = n_chunks * c - fcount
-
     safe_faces = jnp.maximum(faces, 0)
     fv = take_rows(verts_ndc, safe_faces)           # (F, 3, 3)
     face_ids = jnp.arange(fcount, dtype=jnp.int32)
@@ -203,34 +210,50 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
         valid = valid & (area > 0)
     # Cull faces entirely behind the camera.
     valid = valid & (jnp.max(fv[..., 2], axis=-1) > 0)
+    return fv, valid
 
+
+def _select_topk_core(px, py, fv, face_ids, valid, blur_radius, k,
+                      faces_per_chunk, clip, perspective_correct):
+    """Chunked top-K selection over an arbitrary pixel grid / face list.
+
+    px, py: broadcastable pixel NDC coords with a trailing singleton face
+    dim; fv: (F, 3, 3); face_ids: (F,) global ids (emitted into the output);
+    valid: (F,).  Returns idx with the pixel shape + (K,), -1 padded,
+    ascending z.
+    """
+    fcount = fv.shape[0]
+    c = min(faces_per_chunk, fcount)
+    n_chunks = -(-fcount // c)
+    pad = n_chunks * c - fcount
     if pad:
         fv = jnp.concatenate([fv, jnp.zeros((pad, 3, 3), fv.dtype)], axis=0)
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+        face_ids = jnp.concatenate(
+            [face_ids, jnp.full((pad,), -1, jnp.int32)], axis=0)
     fv_chunks = fv.reshape(n_chunks, c, 3, 3)
     valid_chunks = valid.reshape(n_chunks, c)
-
-    xs, ys = _pixel_grid(h, w)
-    px = xs[None, :, None]                          # (1, W, 1)
-    py = ys[:, None, None]                          # (H, 1, 1)
+    id_chunks = face_ids.reshape(n_chunks, c)
+    pix_shape = jnp.broadcast_shapes(px.shape[:-1], py.shape[:-1])
 
     def chunk_step(carry, chunk):
-        z_top, idx_top = carry                       # (H, W, K)
-        chunk_id, fv_c, valid_c = chunk
-        coords = [fv_c[None, None, :, i, j] for i in range(3) for j in range(3)]
+        z_top, idx_top = carry                       # pix_shape + (K,)
+        fv_c, valid_c, ids_c = chunk
+        coords = [fv_c[..., i, j] for i in range(3) for j in range(3)]
+        bshape = (1,) * len(pix_shape) + (c,)
+        coords = [x.reshape(bshape) for x in coords]
         _, _, _, z, dist, inside, degen = _face_pixel_geometry(
             px, py, *coords, clip, perspective_correct
-        )                                            # (H, W, C)
+        )                                            # pix_shape + (C,)
         candidate = (
             (inside | (dist <= blur_radius))
             & ~degen
-            & valid_c[None, None]
+            & valid_c.reshape(bshape)
             & (z > 0)
         )
         z_cand = jnp.where(candidate, z, _INF)
-        cand_ids = jnp.broadcast_to(
-            chunk_id * c + jnp.arange(c, dtype=jnp.int32), z_cand.shape)
-        z_all = jnp.concatenate([z_top, z_cand], axis=-1)      # (H, W, K+C)
+        cand_ids = jnp.broadcast_to(ids_c.reshape(bshape), z_cand.shape)
+        z_all = jnp.concatenate([z_top, z_cand], axis=-1)      # (..., K+C)
         idx_all = jnp.concatenate([idx_top, cand_ids], axis=-1)
         # Stable variadic sort carries the face ids alongside the depth keys.
         z_sorted, idx_sorted = jax.lax.sort(
@@ -239,17 +262,105 @@ def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
         idx_top = jax.lax.slice_in_dim(idx_sorted, 0, k, axis=-1)
         return (z_top, idx_top), None
 
-    z0 = jnp.full((h, w, k), _INF)
-    i0 = jnp.full((h, w, k), -1, jnp.int32)
-    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    z0 = jnp.full(pix_shape + (k,), _INF)
+    i0 = jnp.full(pix_shape + (k,), -1, jnp.int32)
     if n_chunks == 1:
         (z_top, idx_top), _ = chunk_step(
-            (z0, i0), (chunk_ids[0], fv_chunks[0], valid_chunks[0]))
+            (z0, i0), (fv_chunks[0], valid_chunks[0], id_chunks[0]))
     else:
         (z_top, idx_top), _ = jax.lax.scan(
-            chunk_step, (z0, i0), (chunk_ids, fv_chunks, valid_chunks))
+            chunk_step, (z0, i0), (fv_chunks, valid_chunks, id_chunks))
     idx_top = jnp.where(jnp.isfinite(z_top), idx_top, -1)
     return idx_top
+
+
+def _select_topk(verts_ndc, faces, num_faces, image_size, blur_radius, k,
+                 faces_per_chunk, clip, perspective_correct, cull_backfaces):
+    """Flat (un-binned) top-K face selection for one mesh.
+
+    verts_ndc: (V, 3); faces: (F, 3) int32 (padding -1).
+    Returns idx (H, W, K) int32 with -1 padding, sorted ascending-z.
+    """
+    h = w = image_size
+    fv, valid = _face_validity(verts_ndc, faces, num_faces, cull_backfaces)
+    face_ids = jnp.arange(fv.shape[0], dtype=jnp.int32)
+    xs, ys = _pixel_grid(h, w)
+    px = xs[None, :, None]                          # (1, W, 1)
+    py = ys[:, None, None]                          # (H, 1, 1)
+    return _select_topk_core(px, py, fv, face_ids, valid, blur_radius, k,
+                             faces_per_chunk, clip, perspective_correct)
+
+
+def _select_topk_binned(verts_ndc, faces, num_faces, image_size, blur_radius,
+                        k, bin_size, max_faces_per_bin, faces_per_chunk,
+                        clip, perspective_correct, cull_backfaces):
+    """Binned top-K selection: the coarse-to-fine strategy of PyTorch3D's
+    native kernel (the ``bin_size`` / ``max_faces_per_bin`` knobs at
+    `/root/reference/experiments/eval.py:139`), re-designed for XLA.
+
+    1. per-face screen bbox (expanded by the blur band) -> (n_bins, F)
+       overlap matrix (pure elementwise compare);
+    2. per bin, the first ``max_faces_per_bin`` overlapping face ids via
+       top_k on masked ids (static shape);
+    3. the core chunked selector runs vmapped over bins on bin-local pixel
+       grids and bin-local face tables — work per pixel drops from F to the
+       bin's face count;
+    4. bins tile the image, so reassembly is a static reshape.
+    """
+    h = w = image_size
+    assert h % bin_size == 0
+    nb = h // bin_size
+    m = min(max_faces_per_bin, faces.shape[0])
+
+    fv, valid = _face_validity(verts_ndc, faces, num_faces, cull_backfaces)
+    band = jnp.sqrt(jnp.maximum(blur_radius, 0.0))
+    x_min = jnp.min(fv[..., 0], axis=-1) - band     # (F,)
+    x_max = jnp.max(fv[..., 0], axis=-1) + band
+    y_min = jnp.min(fv[..., 1], axis=-1) - band
+    y_max = jnp.max(fv[..., 1], axis=-1) + band
+
+    # Bin NDC extents.  Column c has x = (W - 1 - 2c) / W (x decreases with
+    # c); bin bx covers columns [bx*bs, (bx+1)*bs).
+    cols = jnp.arange(nb) * bin_size
+    bx_hi = (w - 1.0 - 2.0 * cols) / w              # x at first column
+    bx_lo = (w - 1.0 - 2.0 * (cols + bin_size - 1)) / w
+    rows = jnp.arange(nb) * bin_size
+    by_hi = (h - 1.0 - 2.0 * rows) / h
+    by_lo = (h - 1.0 - 2.0 * (rows + bin_size - 1)) / h
+
+    # (nb_y, nb_x, F) overlap via interval intersection.
+    ox = (x_min[None, :] <= bx_hi[:, None]) & (x_max[None, :] >= bx_lo[:, None])
+    oy = (y_min[None, :] <= by_hi[:, None]) & (y_max[None, :] >= by_lo[:, None])
+    overlap = oy[:, None, :] & ox[None, :, :] & valid[None, None, :]
+    overlap = overlap.reshape(nb * nb, -1)
+
+    # First M overlapping faces per bin, ascending id (top_k of -id).
+    f_ids = jnp.arange(overlap.shape[1], dtype=jnp.int32)
+    score = jnp.where(overlap, -f_ids, jnp.iinfo(jnp.int32).min)
+    top_scores, _ = jax.lax.top_k(score, m)          # (n_bins, M)
+    bin_ids = jnp.where(top_scores == jnp.iinfo(jnp.int32).min, -1,
+                        -top_scores)
+    bin_fv = take_rows(fv.reshape(-1, 9), bin_ids).reshape(
+        nb * nb, m, 3, 3)                            # zeros where id == -1
+    bin_valid = bin_ids >= 0
+
+    xs, ys = _pixel_grid(h, w)
+    xs_b = xs.reshape(nb, bin_size)                  # per bin-column x coords
+    ys_b = ys.reshape(nb, bin_size)
+    by_idx = jnp.repeat(jnp.arange(nb), nb)          # bin -> row block
+    bx_idx = jnp.tile(jnp.arange(nb), nb)
+
+    def one_bin(fv_b, ids_b, valid_b, by, bx):
+        px = xs_b[bx][None, :, None]                 # (1, bs, 1)
+        py = ys_b[by][:, None, None]                 # (bs, 1, 1)
+        return _select_topk_core(px, py, fv_b, ids_b, valid_b, blur_radius,
+                                 k, faces_per_chunk, clip,
+                                 perspective_correct)
+
+    idx_bins = jax.vmap(one_bin)(bin_fv, bin_ids, bin_valid, by_idx, bx_idx)
+    # (nb*nb, bs, bs, K) -> (H, W, K)
+    idx = idx_bins.reshape(nb, nb, bin_size, bin_size, k)
+    return idx.transpose(0, 2, 1, 3, 4).reshape(h, w, k)
 
 
 def _derive_planar(verts_ndc, faces, idx, image_size, clip,
@@ -281,16 +392,23 @@ def rasterize_planar(meshes, cameras, settings: RasterizationSettings) -> Planar
     fragments — the hot-path API)."""
     verts_ndc = cameras.transform_points_ndc(meshes.verts)   # (N, V, 3)
     clip = settings.resolve_clip()
+    bin_size, mfpb = settings.resolve_binning(meshes.faces.shape[1])
 
     def _one(verts_ndc_n, faces_n, num_faces_n):
+        if bin_size:
+            select = lambda v: _select_topk_binned(
+                v, faces_n, num_faces_n, settings.image_size,
+                settings.blur_radius, settings.faces_per_pixel, bin_size,
+                mfpb, settings.faces_per_chunk, clip,
+                settings.perspective_correct, settings.cull_backfaces)
+        else:
+            select = lambda v: _select_topk(
+                v, faces_n, num_faces_n, settings.image_size,
+                settings.blur_radius, settings.faces_per_pixel,
+                settings.faces_per_chunk, clip,
+                settings.perspective_correct, settings.cull_backfaces)
         idx = jax.lax.stop_gradient(
-            _select_topk(
-                jax.lax.stop_gradient(verts_ndc_n), faces_n, num_faces_n,
-                settings.image_size, settings.blur_radius,
-                settings.faces_per_pixel, settings.faces_per_chunk,
-                clip, settings.perspective_correct, settings.cull_backfaces,
-            )
-        )
+            select(jax.lax.stop_gradient(verts_ndc_n)))
         zbuf, dists, w0, w1, w2 = _derive_planar(
             verts_ndc_n, faces_n, idx, settings.image_size, clip,
             settings.perspective_correct,

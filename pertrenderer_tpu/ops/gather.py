@@ -175,11 +175,40 @@ def _on_tpu() -> bool:
         return False
 
 
-def _masked_gather_cm(table_t, idx):
+def _masked_gather_cm_small(table_t, idx):
+    """Huge-F fallback gather, one 1-D gather per channel: 1-D outputs get
+    linear layouts, so XLA can't pick a lane-minor-D layout that pads the
+    result 14-42x (observed 20 GB allocations at 512^2 x K=150 x 82k faces)."""
     f = table_t.shape[1]
-    valid = (idx >= 0) & (idx < f)
-    out = table_t[:, jnp.clip(idx, 0, f - 1)]
-    return out * valid[None, :].astype(table_t.dtype)
+    valid = ((idx >= 0) & (idx < f)).astype(table_t.dtype)
+    safe = jnp.clip(idx, 0, f - 1)
+    rows = [table_t[i][safe] * valid for i in range(table_t.shape[0])]
+    return jnp.stack(rows, axis=0)
+
+
+_GATHER_CHUNK = 1 << 21  # bound XLA-gather transients for huge-F fallbacks
+
+
+def _masked_gather_cm(table_t, idx):
+    p = idx.shape[0]
+    if p <= _GATHER_CHUNK:
+        return _masked_gather_cm_small(table_t, idx)
+    d = table_t.shape[0]
+    p_pad = _round_up(p, _GATHER_CHUNK)
+    if p_pad != p:
+        idx = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(idx)
+    nc = p_pad // _GATHER_CHUNK
+
+    def body(out, i):
+        ix = jax.lax.dynamic_slice_in_dim(idx, i * _GATHER_CHUNK,
+                                          _GATHER_CHUNK)
+        vals = _masked_gather_cm_small(table_t, ix)
+        out = jax.lax.dynamic_update_slice(out, vals, (0, i * _GATHER_CHUNK))
+        return out, None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((d, p_pad), table_t.dtype),
+                          jnp.arange(nc))
+    return out[:, :p]
 
 
 @jax.custom_vjp
@@ -194,15 +223,41 @@ def _take_rows_cm_fwd(table_t, idx):
     return _take_rows_cm_2d(table_t, idx), (idx, table_t.shape[1])
 
 
+def _masked_scatter_cm_fallback(g, idx, f):
+    """Chunked segment-sum scatter for huge-F fallbacks (bounds the lane-
+    padded (P, D) transpose transient)."""
+    d, p = g.shape
+
+    def one(g_c, idx_c):
+        valid = ((idx_c >= 0) & (idx_c < f)).astype(g_c.dtype)
+        return jax.ops.segment_sum(
+            (g_c * valid[None, :]).T, jnp.clip(idx_c, 0, f - 1),
+            num_segments=f).T
+
+    if p <= _GATHER_CHUNK:
+        return one(g, idx)
+    p_pad = _round_up(p, _GATHER_CHUNK)
+    if p_pad != p:
+        g = jnp.zeros((d, p_pad), g.dtype).at[:, :p].set(g)
+        idx = jnp.full((p_pad,), -1, jnp.int32).at[:p].set(idx)
+    nc = p_pad // _GATHER_CHUNK
+
+    def body(acc, args):
+        g_c, idx_c = args
+        return acc + one(g_c, idx_c), None
+
+    g3 = jnp.moveaxis(g.reshape(d, nc, _GATHER_CHUNK), 1, 0)
+    idx2 = idx.reshape(nc, _GATHER_CHUNK)
+    acc, _ = jax.lax.scan(body, jnp.zeros((d, f), g.dtype), (g3, idx2))
+    return acc
+
+
 def _take_rows_cm_bwd(res, g):
     idx, f = res
     if _on_tpu() and f <= MAX_ONEHOT_ROWS:
         d_table = _pallas_scatter_rows_cm(g, idx, f)
     else:
-        valid = ((idx >= 0) & (idx < f)).astype(g.dtype)
-        d_table = jax.ops.segment_sum(
-            (g * valid[None, :]).T, jnp.clip(idx, 0, f - 1),
-            num_segments=f).T
+        d_table = _masked_scatter_cm_fallback(g, idx, f)
     return d_table, None
 
 

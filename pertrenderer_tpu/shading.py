@@ -59,19 +59,19 @@ def phong_shading_cm(meshes, pfrag, texels_cm, lights, cameras, materials):
     p2f = pfrag.pix_to_face
     w0, w1, w2 = pfrag.w0, pfrag.w1, pfrag.w2
 
-    # Per-face corner tables (N, F, 3, 3) for verts AND vertex normals,
-    # concatenated so the per-pixel gather runs ONCE (they share pix_to_face).
+    # Per-face corner tables (N, F, 3, 6) for verts AND vertex normals,
+    # interpolated in ONE fused weighted gather (the unfused version
+    # materializes an 18-wide corner tensor — the largest allocation in
+    # profiles).
     from pertrenderer_tpu.ops.gather import take_rows_batched
+    from pertrenderer_tpu.ops.interp_gather import interp_rows_cm_batched
 
     verts_table = take_rows_batched(meshes.verts, faces)           # (N,F,3,3)
     normals_table = take_rows_batched(meshes.verts_normals(), faces)
-    merged = jnp.concatenate(
-        [verts_table.reshape(n, f, 9), normals_table.reshape(n, f, 9)],
-        axis=-1)                                                   # (N,F,18)
-    vals = take_rows_cm_batched(merged, p2f)           # (18, N, H, W, K)
-    vals = vals.reshape((2, 3, 3) + p2f.shape)         # (which, corner, xyz)
-    points = w0 * vals[0, 0] + w1 * vals[0, 1] + w2 * vals[0, 2]
-    normals = w0 * vals[1, 0] + w1 * vals[1, 1] + w2 * vals[1, 2]
+    merged = jnp.concatenate([verts_table, normals_table], axis=-1)
+    vals = interp_rows_cm_batched(merged, p2f, w0, w1, w2)  # (6, N, H, W, K)
+    points = vals[:3]
+    normals = vals[3:]
 
     if not isinstance(lights, PointLights):
         raise NotImplementedError(

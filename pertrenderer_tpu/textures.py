@@ -38,17 +38,15 @@ __all__ = ["TexturesVertex", "TexturesUV", "TexturesAtlas", "Textures",
 
 
 def interpolate_face_attributes_cm(pix_to_face, w0, w1, w2, face_attrs):
-    """Channel-major barycentric interpolation.
+    """Channel-major barycentric interpolation, fused into one weighted
+    gather (ops/interp_gather.py).
 
     pix_to_face, w0..w2: (N, H, W, K); face_attrs: (N, F, 3, C).
     Returns (C, N, H, W, K) — channels on the (cheaply padded) leading axis,
-    pixels lane-aligned.  Zero where empty (take_rows masks -1)."""
-    n, f = face_attrs.shape[0], face_attrs.shape[1]
-    c = face_attrs.shape[-1]
-    vals = take_rows_cm_batched(
-        face_attrs.reshape(n, f, 3 * c), pix_to_face)   # (3C, N, H, W, K)
-    vals = vals.reshape((3, c) + pix_to_face.shape)
-    return w0 * vals[0] + w1 * vals[1] + w2 * vals[2]
+    pixels lane-aligned.  Zero where empty (negative indices are masked)."""
+    from pertrenderer_tpu.ops.interp_gather import interp_rows_cm_batched
+
+    return interp_rows_cm_batched(face_attrs, pix_to_face, w0, w1, w2)
 
 
 def interpolate_face_attributes(
@@ -199,11 +197,9 @@ class TexturesUV:
         hm, wm, c = self.maps.shape[1], self.maps.shape[2], self.maps.shape[3]
         uv_corners = take_rows_batched(self.verts_uvs,
                                        jnp.maximum(self.faces_uvs, 0))
-        f = uv_corners.shape[1]
-        uv2 = take_rows_cm_batched(uv_corners.reshape(n, f, 6), pix_to_face)
-        uv2 = uv2.reshape((3, 2) + pix_to_face.shape)     # (corner, uv, ...)
-        u = w0 * uv2[0, 0] + w1 * uv2[1, 0] + w2 * uv2[2, 0]
-        v = w0 * uv2[0, 1] + w1 * uv2[1, 1] + w2 * uv2[2, 1]
+        uv = interpolate_face_attributes_cm(pix_to_face, w0, w1, w2,
+                                            uv_corners)  # (2, N, H, W, K)
+        u, v = uv[0], uv[1]
 
         x = u * (wm - 1)
         y = (1.0 - v) * (hm - 1)

@@ -33,7 +33,10 @@ def test_pose_opt_reduces_angle_error():
     assert ang1 < ang0 * 0.75, (ang0, ang1)
     assert res.losses.shape == (120,)
     assert np.isfinite(res.losses).all()
-    assert res.losses[-1] < res.losses[0]
+    # MC trajectories oscillate; the meaningful check is that optimization
+    # found a better iterate than where it started (best-iterate tracking
+    # mirrors the reference, eval.py:371-373).
+    assert res.losses.min() < res.losses[:5].mean() * 0.8
 
 
 def test_pose_opt_annealing_runs():

@@ -299,7 +299,7 @@ def load_cube() -> Meshes:
         maps=cube_texture_image()[None],
         verts_uvs=verts_uvs[None],
         faces_uvs=faces_uvs[None],
-        atlas_size=8,
+        atlas_size=4,
     )
     return Meshes.create(verts, faces, textures=tex)
 

@@ -30,6 +30,8 @@ zero rows.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gather_cm_kernel(idx_ref, table_ref, out_ref):
+def _gather_cm_kernel(idx_ref, table_ref, out_ref, *, tile_f):
     """out[:, p] = table_t[:, idx[p]] for one pixel super-tile, accumulated
     over face chunks.  idx block (1, ROWS, TILE_P); table_t block
     (d_pad, TILE_F); out block (d_pad, SUPER_P)."""
@@ -64,9 +66,9 @@ def _gather_cm_kernel(idx_ref, table_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    base = f_chunk * _TILE_F
+    base = f_chunk * tile_f
     row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (_TILE_F, _TILE_P), 0) + base
+        jnp.int32, (tile_f, _TILE_P), 0) + base
     table = table_ref[:]
     idx = idx_ref[0]                                    # (ROWS, TILE_P)
     for r in range(_ROWS):
@@ -82,7 +84,10 @@ def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table_t: (D, F) f32; idx: (P,) int32.  Returns (D, P)."""
     d, f = table_t.shape
     p = idx.shape[0]
-    f_pad = _round_up(max(f, _TILE_F), _TILE_F)
+    # Deeper face chunks amortize MXU dot latency for multi-chunk tables
+    # (each dot is M=d_pad-shallow; fewer, deeper dots win).
+    tile_f = _TILE_F if f <= _TILE_F else min(512, _round_up(f, _TILE_F))
+    f_pad = _round_up(max(f, tile_f), tile_f)
     d_pad = _round_up(d, 8)
     p_pad = _round_up(max(p, _SUPER_P), _SUPER_P)
     if (f_pad, d_pad) == (f, d):
@@ -98,12 +103,12 @@ def _pallas_take_rows_cm(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
             p_pad // _SUPER_P, _ROWS, _TILE_P)
 
     out = pl.pallas_call(
-        _gather_cm_kernel,
-        grid=(p_pad // _SUPER_P, f_pad // _TILE_F),
+        partial(_gather_cm_kernel, tile_f=tile_f),
+        grid=(p_pad // _SUPER_P, f_pad // tile_f),
         in_specs=[
             pl.BlockSpec((1, _ROWS, _TILE_P), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, _TILE_F), lambda i, j: (0, j),
+            pl.BlockSpec((d_pad, tile_f), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((d_pad, _SUPER_P), lambda i, j: (0, i),

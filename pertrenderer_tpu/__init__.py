@@ -70,10 +70,15 @@ from pertrenderer_tpu.ops.perturbed import (
     perturbed_heaviside,
     prod_corrected,
 )
+from pertrenderer_tpu.ops.gather import take_rows, take_rows_cm
+from pertrenderer_tpu.ops.interp_gather import interp_rows_cm
 from pertrenderer_tpu.ops.rasterize import (
     Fragments,
+    PlanarFragments,
     RasterizationSettings,
+    as_planar,
     rasterize_meshes,
+    rasterize_planar,
 )
 from pertrenderer_tpu.shading import phong_shading
 from pertrenderer_tpu.structures import Meshes, join_meshes_as_batch

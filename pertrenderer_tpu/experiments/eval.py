@@ -90,6 +90,9 @@ def build_parser():
     parser.add_argument("-is", "--image-size", type=int, default=IMAGE_SIZE)
     parser.add_argument("-s", "--seed", type=int, default=RANDOM_SEED)
     parser.add_argument("--results-dir", type=str, default="results")
+    parser.add_argument("-sra", "--save-run-artifacts", type=int, default=1,
+                        help="dump per-run loss/grad .npy + image grid "
+                             "(reference eval.py:395-405)")
     return parser
 
 
@@ -163,12 +166,15 @@ def compare_pose_opt(args):
                 ang_init = float(pt.so3_relative_angle(
                     pt.so3_exp_map(log_rot_init), R_true)[0]) * 180.0 / np.pi
                 angle_errors_init[nt].append(ang_init)
+                run_dir = (artifacts.run_dir(args.results_dir,
+                                             args.experiment_id)
+                           if args.save_run_artifacts else None)
                 res = harness.optimize_pose(
                     meshes, cameras, lights, log_rot_init, renderers[l],
                     target_rgb, key=jax.random.fold_in(pkey, l),
                     lr_init=lr, Niter=args.num_iterations,
                     optimizer=args.optimizer, adapt_reg=adapt_reg,
-                    adapt_params=adapt_param)
+                    adapt_params=adapt_param, artifacts_dir=run_dir)
                 ang = float(pt.so3_relative_angle(
                     pt.so3_exp_map(res.best_log_rot), R_true)[0]) * 180.0 / np.pi
                 angle_errors[nt].append(ang)

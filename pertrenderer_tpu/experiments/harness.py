@@ -305,15 +305,20 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
 def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                   key=None, lr_init=5e-2, Niter=100, optimizer="adam",
                   adapt_reg=False, adapt_params=(1.1, 1.5),
-                  segment_size=50, collect_images=False, imsize=None):
+                  segment_size=50, collect_images=False, imsize=None,
+                  artifacts_dir=None):
     """Pose optimization with the reference's schedule
     (`/root/reference/experiments/eval.py:320-409`), restructured as jitted
     ``lax.scan`` segments.
 
     Returns a :class:`PoseOptResult`.  ``runtimes`` reports per-segment wall
     time and derived per-iteration time (the reference's per-iter fwd/bwd
-    timers are meaningless for a fused jitted step).
+    timers are meaningless for a fused jitted step).  With ``artifacts_dir``
+    set, dumps loss/gradient ``.npy`` histories and a training image grid
+    like the reference (`eval.py:395-405`).
     """
+    if artifacts_dir is not None:
+        collect_images = True
     if key is None:
         key = jax.random.PRNGKey(0)
     target = target_rgb[0][None] if target_rgb[0].ndim == 3 else target_rgb[0]
@@ -413,6 +418,16 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
         "per_iter": [total / max(Niter, 1)],
         "total": [total],
     }
+    if artifacts_dir is not None:
+        from pertrenderer_tpu.utils import artifacts as _art
+
+        _art.save_histories(artifacts_dir, all_losses, all_gnorms)
+        if images:
+            grid = np.concatenate(
+                [np.asarray(target_rgb[0])[None]] + images, axis=0)
+            n = grid.shape[0]
+            _art.image_grid(grid, artifacts_dir, rows=max(1, (n + 3) // 4),
+                            cols=min(n, 4))
     return PoseOptResult(
         best_log_rot=best_log_rot, log_rot=log_rot, losses=all_losses,
         grad_norms=all_gnorms, runtimes=runtimes, images=images)

@@ -52,23 +52,31 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
     )
     target = jnp.zeros((1, image_size, image_size, 3))
 
-    def loss_fn(log_rot, renderer, key):
+    def loss_fn(log_rot, sigma_, gamma_, alpha_, key):
+        # Gradients to exactly the reference's learnable leaves: pose +
+        # sigma/gamma/alpha (eval.py:331,383) — textures/cameras/lights stay
+        # constants, as in the reference pose loop.
+        r = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sigma_, gamma=gamma_, alpha=alpha_))
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
-        images = renderer(pred, key=key, cameras=cameras, lights=lights)
+        images = r(pred, key=key, cameras=cameras, lights=lights)
         return jnp.mean((images[..., :3] - target) ** 2)
 
     def make(n):
         @jax.jit
         def run(log_rot, key):
+            sig0, gam0, alp0 = renderer.shader.get_smoothing()
+
             def body(carry, _):
                 log_rot, key = carry
                 key, sub = jax.random.split(key)
-                loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                    log_rot, renderer, sub)
+                loss, grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3))(
+                    log_rot, sig0, gam0, alp0, sub)
                 log_rot = log_rot - 1e-6 * grads[0]
-                return (log_rot, key), loss
+                return (log_rot, key), loss + grads[1] * 0 + grads[2] * 0
             (log_rot, _), losses = jax.lax.scan(
                 body, (log_rot, key), None, length=n)
             return jnp.sum(losses) + jnp.sum(log_rot)

@@ -259,9 +259,18 @@ class PoseOptResult:
 def _make_pose_step(mesh, cameras, lights, target, optimizer):
     """One fused train step: render -> L2 loss -> grads (pose + smoothing) ->
     explosion guard (`eval.py:374-378`) -> Adam -> best-iterate tracking
-    (`eval.py:371-373`)."""
+    (`eval.py:371-373`).
 
-    def loss_fn(log_rot, renderer, key):
+    Gradients flow to exactly the leaves the reference differentiates in its
+    pose loop: log_rot (`eval.py:331-332`) and the learnable sigma/gamma/alpha
+    (`smoothrast.py:116`, `smoothagg.py:153-154`) — NOT textures/cameras/
+    lights, so their backward chains are pruned from the compiled step.
+    """
+
+    def loss_fn(log_rot, sigma, gamma, alpha, renderer, key):
+        renderer = renderer.replace(
+            shader=renderer.shader.update_smoothing(sigma=sigma, gamma=gamma,
+                                                    alpha=alpha))
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
@@ -272,9 +281,11 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
         (log_rot, opt_state, key, best_loss, best_log_rot, renderer,
          ema) = carry
         key, sub, noise_key = jax.random.split(key, 3)
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            log_rot, renderer, sub)
-        g_pose, g_renderer = grads
+        sigma, gamma, alpha = renderer.shader.get_smoothing()
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+            log_rot, jnp.asarray(sigma), jnp.asarray(gamma),
+            jnp.asarray(alpha), renderer, sub)
+        g_pose, g_sigma, g_gamma, g_alpha = grads
         gnorm = jnp.linalg.norm(g_pose)
         # Gradient-explosion guard: replace exploded grads with tiny noise
         # (`eval.py:374-378`).
@@ -288,13 +299,9 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
         best_log_rot = jnp.where(improved, log_rot, best_log_rot)
         # EMA of smoothing-parameter gradients drives annealing
         # (`eval.py:384-389`).
-        shader_g = g_renderer.shader
-        g_sigma = getattr(shader_g.smoothrast, "sigma", jnp.asarray(0.0))
-        g_gamma = getattr(shader_g.smoothagg, "gamma", jnp.asarray(0.0))
-        g_alpha = getattr(shader_g.smoothagg, "alpha", jnp.asarray(0.0))
         ema = jax.tree.map(
             lambda v, g: 0.9 * v + 0.1 * g, ema,
-            (jnp.asarray(g_sigma), jnp.asarray(g_gamma), jnp.asarray(g_alpha)))
+            (g_sigma, g_gamma, g_alpha))
         carry = (new_log_rot, opt_state, key, best_loss, best_log_rot,
                  renderer, ema)
         return carry, (loss, gnorm)

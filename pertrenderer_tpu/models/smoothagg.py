@@ -150,8 +150,13 @@ UniformAgg.__name__ = "UniformAgg"
 class HardAgg:
     """Hard argmax aggregation — non-differentiable baseline
     (`/root/reference/randomras/smoothagg.py:274-289`); log-prob scaled by
-    1e-6 instead of gamma/alpha."""
+    1e-6 instead of gamma/alpha.  The gamma/alpha fields exist only so the
+    shared shader surface (get/update_smoothing) works; they are inert."""
 
+    gamma: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1.0))
+    alpha: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1.0))
     eps: float = struct.field(pytree_node=False, default=1e-10)
     nb_samples: int = struct.field(pytree_node=False, default=1)
 

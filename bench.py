@@ -52,7 +52,7 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
     )
     target = jnp.zeros((1, image_size, image_size, 3))
 
-    def loss_fn(log_rot, sigma_, gamma_, alpha_, key):
+    def loss_fn(log_rot, sigma_, gamma_, alpha_, keys):
         # Gradients to exactly the reference's learnable leaves: pose +
         # sigma/gamma/alpha (eval.py:331,383) — textures/cameras/lights stay
         # constants, as in the reference pose loop.
@@ -61,24 +61,25 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
-        images = r(pred, key=key, cameras=cameras, lights=lights)
+        images = r(pred, key=(keys[0], keys[1]), cameras=cameras,
+                   lights=lights)
         return jnp.mean((images[..., :3] - target) ** 2)
 
     def make(n):
         @jax.jit
         def run(log_rot, key):
             sig0, gam0, alp0 = renderer.shader.get_smoothing()
+            # Pre-split per-iteration keys: an in-loop threefry split lowers
+            # to a scalar while-loop worth ~ms per iteration on TPU.
+            all_keys = jax.random.split(key, n * 2).reshape(n, 2, 2)
 
-            def body(carry, _):
-                log_rot, key = carry
-                key, sub = jax.random.split(key)
+            def body(log_rot, keys):
                 loss, grads = jax.value_and_grad(
                     loss_fn, argnums=(0, 1, 2, 3))(
-                    log_rot, sig0, gam0, alp0, sub)
+                    log_rot, sig0, gam0, alp0, keys)
                 log_rot = log_rot - 1e-6 * grads[0]
-                return (log_rot, key), loss + grads[1] * 0 + grads[2] * 0
-            (log_rot, _), losses = jax.lax.scan(
-                body, (log_rot, key), None, length=n)
+                return log_rot, loss + grads[1] * 0 + grads[2] * 0
+            log_rot, losses = jax.lax.scan(body, log_rot, all_keys)
             return jnp.sum(losses) + jnp.sum(log_rot)
         return run
 

@@ -98,13 +98,21 @@ def smooth_rgb_blend_cm(colors_cm: jnp.ndarray, pfrag, smoothrast, smoothagg,
     colors_cm: (3, N, H, W, K); pfrag: PlanarFragments.  Returns RGBA
     (N, H, W, 4) — the only row-major (small-minor-dim) array produced, at
     the very end of the pipeline.
+
+    ``key`` may be a single PRNG key (split here) or a pre-split
+    ``(key_rast, key_agg)`` pair — callers running inside scanned training
+    steps pre-split per-iteration keys outside the loop, since a threefry
+    split lowers to a scalar while-loop worth ~ms on TPU.
     """
     import jax
 
     background = jnp.asarray(blend_params.background_color, colors_cm.dtype)
     if key is None:
         key = jax.random.PRNGKey(0)
-    key_rast, key_agg = jax.random.split(key)
+    if isinstance(key, tuple):
+        key_rast, key_agg = key
+    else:
+        key_rast, key_agg = jax.random.split(key)
 
     mask = pfrag.pix_to_face >= 0
     prob_map = smoothrast.rasterize(pfrag.dists, key_rast) * mask

@@ -267,30 +267,33 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
     lights, so their backward chains are pruned from the compiled step.
     """
 
-    def loss_fn(log_rot, sigma, gamma, alpha, renderer, key):
+    def loss_fn(log_rot, sigma, gamma, alpha, renderer, keys):
         renderer = renderer.replace(
             shader=renderer.shader.update_smoothing(sigma=sigma, gamma=gamma,
                                                     alpha=alpha))
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
-        images = renderer(pred, key=key, cameras=cameras, lights=lights)
+        images = renderer(pred, key=(keys[0], keys[1]), cameras=cameras,
+                          lights=lights)
         return jnp.mean((images[..., :3] - target) ** 2)
 
-    def step(carry, _):
+    def step(carry, keys):
+        # keys: (3, 2) pre-split per-iteration keys (estimator rast/agg +
+        # guard noise) — split OUTSIDE the scan; an in-loop threefry split
+        # lowers to a scalar while-loop worth ~ms per iteration on TPU.
         (log_rot, opt_state, key, best_loss, best_log_rot, renderer,
          ema) = carry
-        key, sub, noise_key = jax.random.split(key, 3)
         sigma, gamma, alpha = renderer.shader.get_smoothing()
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
             log_rot, jnp.asarray(sigma), jnp.asarray(gamma),
-            jnp.asarray(alpha), renderer, sub)
+            jnp.asarray(alpha), renderer, keys)
         g_pose, g_sigma, g_gamma, g_alpha = grads
         gnorm = jnp.linalg.norm(g_pose)
         # Gradient-explosion guard: replace exploded grads with tiny noise
         # (`eval.py:374-378`).
         g_pose = jnp.where(gnorm > 1000.0,
-                           1e-5 * jax.random.normal(noise_key, g_pose.shape),
+                           1e-5 * jax.random.normal(keys[2], g_pose.shape),
                            g_pose)
         updates, opt_state = optimizer.update(g_pose, opt_state, log_rot)
         new_log_rot = optax.apply_updates(log_rot, updates)
@@ -368,23 +371,27 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
 
     scan_fn_cache: Dict[Tuple[int, int], Any] = {}
 
-    def run_segment(n_steps, carry):
+    def run_segment(n_steps, carry, seg_keys):
         sig = (n_steps, carry[5].shader.get_nb_samples())
         if sig not in scan_fn_cache:
             step = _make_pose_step(mesh, cameras, lights, target, opt)
             scan_fn_cache[sig] = jax.jit(
-                lambda c: jax.lax.scan(step, c, None, length=n_steps))
-        return scan_fn_cache[sig](carry)
+                lambda c, xs: jax.lax.scan(step, c, xs, length=n_steps))
+        return scan_fn_cache[sig](carry, seg_keys)
 
     start = 0
     for end in boundaries:
         n_steps = end - start
         if n_steps <= 0:
             continue
+        key, seg_key = jax.random.split(key)
+        seg_keys = jax.random.split(seg_key, n_steps * 3).reshape(
+            n_steps, 3, 2)
         carry = (log_rot, opt_state, key, best_loss, best_log_rot, renderer,
                  ema)
         t0 = time.time()
-        carry, (seg_losses, seg_gnorms) = run_segment(n_steps, carry)
+        carry, (seg_losses, seg_gnorms) = run_segment(n_steps, carry,
+                                                      seg_keys)
         seg_losses = jax.block_until_ready(seg_losses)
         seg_times.append(time.time() - t0)
         (log_rot, opt_state, key, best_loss, best_log_rot, renderer,

@@ -90,6 +90,9 @@ def build_parser():
     parser.add_argument("-is", "--image-size", type=int, default=IMAGE_SIZE)
     parser.add_argument("-s", "--seed", type=int, default=RANDOM_SEED)
     parser.add_argument("--results-dir", type=str, default="results")
+    parser.add_argument("--plot-results", type=int, default=1,
+                        help="save the solved-percentage summary plot "
+                             "(reference eval.py:662-690)")
     parser.add_argument("-sra", "--save-run-artifacts", type=int, default=1,
                         help="dump per-run loss/grad .npy + image grid "
                              "(reference eval.py:395-405)")
@@ -203,6 +206,10 @@ def compare_pose_opt(args):
     artifacts.dump_json(root, eid, "solved_percentage.txt", mean_solved)
     artifacts.dump_json(root, eid, "params.txt", params)
     artifacts.dump_json(root, eid, "exp_setup.txt", exp_setup)
+    if args.plot_results:
+        path = artifacts.plot_solved_percentage(root, eid, SOLVED_THRESHOLDS)
+        if path:
+            print("results plot:", path)
     print("mean angle errors:", mean_errors)
     return mean_errors
 

@@ -48,10 +48,10 @@ def phong_shading_cm(meshes, pfrag, texels_cm, lights, cameras, materials):
     The hot-path twin of :func:`phong_shading` — all 3-vector fields keep
     channels on the leading axis so the big pixel dims stay lane-aligned
     (TPU pads the minor dim to 128 lanes; a trailing 3 wastes 42x).
-    Currently supports PointLights (the reference's lighting,
-    `/root/reference/experiments/eval.py:252`).
+    Supports PointLights (the reference's lighting,
+    `/root/reference/experiments/eval.py:252`) and DirectionalLights.
     """
-    from pertrenderer_tpu.lights import PointLights
+    from pertrenderer_tpu.lights import DirectionalLights, PointLights
     from pertrenderer_tpu.ops.gather import take_rows_cm_batched
 
     n, f = meshes.batch_size, meshes.max_faces
@@ -73,16 +73,19 @@ def phong_shading_cm(meshes, pfrag, texels_cm, lights, cameras, materials):
     points = vals[:3]
     normals = vals[3:]
 
-    if not isinstance(lights, PointLights):
-        raise NotImplementedError(
-            "phong_shading_cm supports PointLights; use phong_shading for "
-            "other light types")
-
     def _b(x):  # (N, 3) -> (3, N, 1, 1, 1)
         return jnp.moveaxis(x, -1, 0).reshape(
             (3, x.shape[0]) + (1,) * (points.ndim - 2))
 
-    to_light = _normalize_cm(_b(lights.location) - points)
+    if isinstance(lights, PointLights):
+        to_light = _normalize_cm(_b(lights.location) - points)
+    elif isinstance(lights, DirectionalLights):
+        to_light = jnp.broadcast_to(_normalize_cm(_b(-lights.direction)),
+                                    points.shape)
+    else:
+        raise NotImplementedError(
+            f"phong_shading_cm supports Point/DirectionalLights, got "
+            f"{type(lights).__name__}")
     cos_angle = jnp.sum(normals * to_light, axis=0)                 # (N,H,W,K)
     diffuse = jnp.maximum(cos_angle, 0.0) * _b(lights.diffuse_color)
 

@@ -78,6 +78,48 @@ def image_grid(images, title: str, rows: Optional[int] = None,
     return out
 
 
+def plot_solved_percentage(results_root: str, exp_id,
+                           thresholds=(1, 2, 5, 10, 15, 20, 25, 35, 45)
+                           ) -> Optional[str]:
+    """Solved-percentage summary plot from the dumped JSON metrics
+    (`/root/reference/experiments/eval.py:662-690`).  Returns the saved path
+    or None if matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+
+    base = os.path.join(results_root, str(exp_id))
+    solved = json.load(open(os.path.join(base, "solved_percentage.txt")))
+    mean_err = json.load(open(os.path.join(base, "angle_error.txt")))
+    try:
+        setup = json.load(open(os.path.join(base, "exp_setup.txt")))
+    except Exception:
+        setup = {}
+
+    fig = plt.figure(dpi=200)
+    for noise, per_thresh in solved.items():
+        # best config = lowest mean angle error (reference sorts by it)
+        best = int(np.argmin(mean_err[noise]))
+        ys = [per_thresh[str(t) if str(t) in per_thresh else t][best]
+              for t in thresholds]
+        plt.plot(list(thresholds), ys, label=noise)
+    title = setup.get("perturbation")
+    if title is not None:
+        plt.title(f"{title}\N{DEGREE SIGN} initial perturbation")
+    plt.xlabel("Threshold (\N{DEGREE SIGN})")
+    plt.ylabel("% of task solved")
+    plt.ylim((0.0, 1.0))
+    plt.legend()
+    out = os.path.join(base, "results_plot.png")
+    plt.savefig(out)
+    plt.close(fig)
+    return out
+
+
 def device_peak_memory_mb() -> Optional[float]:
     """Peak device memory in MB (the torch.cuda.max_memory_allocated analog,
     `/root/reference/experiments/eval.py:550,554`).  None if the backend does

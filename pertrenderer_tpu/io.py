@@ -25,7 +25,7 @@ from pertrenderer_tpu.textures import TexturesAtlas, TexturesUV, TexturesVertex
 
 __all__ = [
     "load_obj", "load_objs_as_meshes", "save_obj",
-    "load_cube", "make_icosphere", "cube_mesh_data",
+    "load_cube", "load_cube_from_files", "make_icosphere", "cube_mesh_data",
 ]
 
 
@@ -302,6 +302,41 @@ def load_cube() -> Meshes:
         atlas_size=4,
     )
     return Meshes.create(verts, faces, textures=tex)
+
+
+def load_cube_from_files(datadir: str, atlas_size: int = 4) -> Meshes:
+    """Load the Rubik's cube from reference-format asset files — the exact
+    pipeline of `/root/reference/experiments/eval.py:727-757`: read
+    ``cube2.obj`` + ``cube_p.npz``, swap face colors 0<->3 (the
+    "same cube as softras" reorder at eval.py:742-744), paint the loaded
+    texture image's six strips with the npz colors, and build a UV-textured
+    mesh.  Use :func:`load_cube` for the procedural equivalent."""
+    obj_path = os.path.join(datadir, "cube2.obj")
+    npz_path = os.path.join(datadir, "cube_p.npz")
+    with np.load(npz_path) as f:
+        pos_idx, pos, col_idx, col = f.values()
+    if pos.shape[1] == 4:
+        pos = pos[:, 0:3]
+    vtx_col = col.astype(np.float32).copy()
+    green = vtx_col[3].copy()
+    vtx_col[3] = vtx_col[0]
+    vtx_col[0] = green
+
+    verts, faces, aux = load_obj(obj_path, load_textures=True)
+    if aux.texture_images:
+        tex = list(aux.texture_images.values())[0].copy()
+    else:
+        tex = np.zeros((8, 96, 3), np.float32)
+    strip = tex.shape[1] // 6
+    for i in range(6):
+        tex[:, i * strip:(i + 1) * strip] = vtx_col[i]
+    textures = TexturesUV(
+        maps=tex[None].astype(np.float32),
+        verts_uvs=aux.verts_uvs[None],
+        faces_uvs=faces.textures_idx[None],
+        atlas_size=atlas_size,
+    )
+    return Meshes.create(verts, faces.verts_idx, textures=textures)
 
 
 def make_icosphere(level: int = 3) -> Tuple[np.ndarray, np.ndarray]:

@@ -168,8 +168,25 @@ def _ph_fwd(distances, noise_intensity, key, nb_samples, noise_type,
     return out, (distances, noise_intensity, key)
 
 
+def _forward_only_grads(noise_type, x, noise_intensity, what):
+    """Zero gradients + a trace-time warning for noise families whose score
+    function is not implemented (uniform/gumbel/logistic).  The reference
+    prints "noise_type not implemented" and then crashes dereferencing the
+    None gradient (`/root/reference/randomras/smoothagg.py:64-73`); we keep
+    the warning but degrade gracefully so a jitted program survives."""
+    import warnings
+
+    warnings.warn(
+        f"{what} backward not implemented for noise type {noise_type!r}; "
+        "returning zero gradients (forward-only family)", stacklevel=2)
+    return jnp.zeros_like(x), jnp.zeros_like(noise_intensity), None
+
+
 def _ph_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
     distances, noise_intensity, key = res
+    if noise_type not in ("gaussian", "cauchy"):
+        return _forward_only_grads(noise_type, distances, noise_intensity,
+                                   "perturbed_heaviside")
     key = _device_key(key, sample_axis)
 
     if _use_pallas(noise_type, need_grad=True):
@@ -262,11 +279,10 @@ def _pa_fwd(z, noise_intensity, key, nb_samples, noise_type,
 
 def _pa_bwd(nb_samples, noise_type, variance_reduction, sample_axis, res, g):
     z, noise_intensity, key = res
-    key = _device_key(key, sample_axis)
     if noise_type not in ("gaussian", "cauchy"):
-        raise NotImplementedError(
-            f"backward for noise type {noise_type!r} not implemented "
-            "(forward-only in the reference as well)")
+        return _forward_only_grads(noise_type, z, noise_intensity,
+                                   "perturbed_argmax")
+    key = _device_key(key, sample_axis)
 
     if _use_pallas(noise_type, need_grad=True):
         from pertrenderer_tpu.ops.perturbed_pallas import argmax_grads_pallas

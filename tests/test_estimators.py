@@ -157,3 +157,31 @@ def test_prod_corrected_value_and_plain_grad():
                       argnums=(0, 1))(x, y)
     np.testing.assert_allclose(float(gx), 1.0 * 1 + 3.0 * 2)
     np.testing.assert_allclose(np.asarray(gy), [2.0, 4.0])
+
+
+def test_forward_only_families_degrade_to_zero_grads():
+    """Uniform/gumbel argmax and logistic heaviside are forward-only; grads
+    must come back zero (with a warning) instead of crashing the jit — the
+    reference prints and then crashes on the None grad
+    (`/root/reference/randomras/smoothagg.py:64-73`)."""
+    import warnings
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 4))
+    for noise in ("uniform", "gumbel"):
+        def f(z, g):
+            return jnp.sum(perturbed_argmax(z, g, jax.random.PRNGKey(1), 4,
+                                            noise, True))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            gz, gg = jax.grad(f, argnums=(0, 1))(z, jnp.asarray(0.3))
+        np.testing.assert_array_equal(np.asarray(gz), 0.0)
+        assert float(gg) == 0.0
+
+    def h(d, s):
+        return jnp.sum(perturbed_heaviside(d, s, jax.random.PRNGKey(1), 4,
+                                           "logistic", True))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gd, gs = jax.grad(h, argnums=(0, 1))(z, jnp.asarray(0.3))
+    np.testing.assert_array_equal(np.asarray(gd), 0.0)
+    assert float(gs) == 0.0

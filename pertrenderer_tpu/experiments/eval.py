@@ -96,7 +96,21 @@ def build_parser():
     parser.add_argument("-sra", "--save-run-artifacts", type=int, default=1,
                         help="dump per-run loss/grad .npy + image grid "
                              "(reference eval.py:395-405)")
+    parser.add_argument("--checkpoint-dir", type=str, default="",
+                        help="save full run state at segment boundaries "
+                             "under this directory (per run subdirs); "
+                             "a capability the reference lacks")
+    parser.add_argument("--resume", type=int, default=0,
+                        help="with --checkpoint-dir: restore the latest "
+                             "checkpoint of each run and continue its exact "
+                             "trajectory")
     return parser
+
+
+def _ckpt_dir(args, tag):
+    if not args.checkpoint_dir:
+        return None
+    return os.path.join(args.checkpoint_dir, str(args.experiment_id), tag)
 
 
 def _make_test_problems(args, master_key):
@@ -177,7 +191,9 @@ def compare_pose_opt(args):
                     target_rgb, key=jax.random.fold_in(pkey, l),
                     lr_init=lr, Niter=args.num_iterations,
                     optimizer=args.optimizer, adapt_reg=adapt_reg,
-                    adapt_params=adapt_param, artifacts_dir=run_dir)
+                    adapt_params=adapt_param, artifacts_dir=run_dir,
+                    checkpoint_dir=_ckpt_dir(args, f"pose_p{i}_{nt}"),
+                    resume=bool(args.resume))
                 ang = float(pt.so3_relative_angle(
                     pt.so3_exp_map(res.best_log_rot), R_true)[0]) * 180.0 / np.pi
                 angle_errors[nt].append(ang)
@@ -307,7 +323,9 @@ def check_differentiability(args):
         src_mesh, camera_elev, camera_azim, lights_location, deform_init,
         verts_rgb_init, renderers[min(1, len(renderers) - 1)], [target_rgb],
         key=k3, lr_init=args.lr_values[0], Niter=args.num_iterations,
-        optimizer=args.optimizer, param_to_check=param_to_check)
+        optimizer=args.optimizer, param_to_check=param_to_check,
+        checkpoint_dir=_ckpt_dir(args, "check_diff"),
+        resume=bool(args.resume))
     print("loss first/last:", losses[0], losses[-1])
     print("best light location:", best_params["lights_location"])
     return best_params, losses

@@ -316,7 +316,8 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                   key=None, lr_init=5e-2, Niter=100, optimizer="adam",
                   adapt_reg=False, adapt_params=(1.1, 1.5),
                   segment_size=50, collect_images=False, imsize=None,
-                  artifacts_dir=None):
+                  artifacts_dir=None, checkpoint_dir=None, resume=False,
+                  max_segments=None):
     """Pose optimization with the reference's schedule
     (`/root/reference/experiments/eval.py:320-409`), restructured as jitted
     ``lax.scan`` segments.
@@ -326,6 +327,14 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     timers are meaningless for a fused jitted step).  With ``artifacts_dir``
     set, dumps loss/gradient ``.npy`` histories and a training image grid
     like the reference (`eval.py:395-405`).
+
+    With ``checkpoint_dir`` set, the complete run state (pose, optimizer
+    state, PRNG key, best iterate, smoothing/annealing state, histories) is
+    saved at every segment boundary — a capability the reference lacks
+    (SURVEY.md §5).  ``resume=True`` restores the latest checkpoint and
+    continues the exact trajectory of the uninterrupted run.
+    ``max_segments`` stops after that many segments (kill simulation for
+    resume tests; the checkpoint is already on disk).
     """
     if artifacts_dir is not None:
         collect_images = True
@@ -369,6 +378,52 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     while boundaries[-1] < Niter:
         boundaries.append(min(Niter, boundaries[-1] + segment_size))
 
+    resumed_from = 0
+    if resume and checkpoint_dir is not None:
+        from pertrenderer_tpu.utils import checkpoint as _ckpt
+
+        last = _ckpt.latest_step(checkpoint_dir)
+        if last is not None:
+            st = _ckpt.restore_checkpoint(checkpoint_dir, last)
+            lr = float(st["lr"])
+            renderer = renderer.replace(
+                rasterizer=renderer.rasterizer.update_blur(float(st["blur"])),
+                shader=renderer.shader.update_smoothing(
+                    sigma=jnp.asarray(st["sigma"]),
+                    gamma=jnp.asarray(st["gamma"]),
+                    alpha=jnp.asarray(st["alpha"]))
+                .update_nb_samples(int(st["nb_samples"])))
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(init_opt_state(lr)),
+                [jnp.asarray(x) for x in st["opt_leaves"]])
+            log_rot = jnp.asarray(st["log_rot"])
+            key = jnp.asarray(st["key"])
+            best_loss = jnp.asarray(st["best_loss"])
+            best_log_rot = jnp.asarray(st["best_log_rot"])
+            ema = tuple(jnp.asarray(x) for x in st["ema"])
+            if np.size(st["losses"]):
+                losses.append(np.asarray(st["losses"]))
+                gnorms.append(np.asarray(st["gnorms"]))
+            resumed_from = int(st["step"])
+
+    def save_ckpt(step_idx):
+        if checkpoint_dir is None:
+            return
+        from pertrenderer_tpu.utils import checkpoint as _ckpt
+
+        sig, gam, alp = renderer.shader.get_smoothing()
+        _ckpt.save_checkpoint(checkpoint_dir, {
+            "log_rot": log_rot, "opt_leaves": list(jax.tree.leaves(opt_state)),
+            "key": key, "best_loss": best_loss, "best_log_rot": best_log_rot,
+            "ema": list(ema), "sigma": jnp.asarray(sig),
+            "gamma": jnp.asarray(gam), "alpha": jnp.asarray(alp),
+            "nb_samples": np.int64(renderer.shader.get_nb_samples()),
+            "blur": np.float64(renderer.rasterizer.raster_settings.blur_radius),
+            "lr": np.float64(lr), "step": np.int64(step_idx),
+            "losses": np.concatenate(losses) if losses else np.zeros(0),
+            "gnorms": np.concatenate(gnorms) if gnorms else np.zeros(0),
+        }, step_idx)
+
     scan_fn_cache: Dict[Tuple[int, int], Any] = {}
 
     def run_segment(n_steps, carry, seg_keys):
@@ -379,11 +434,15 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                 lambda c, xs: jax.lax.scan(step, c, xs, length=n_steps))
         return scan_fn_cache[sig](carry, seg_keys)
 
-    start = 0
+    start = resumed_from
+    segments_run = 0
     for end in boundaries:
         n_steps = end - start
         if n_steps <= 0:
             continue
+        if max_segments is not None and segments_run >= max_segments:
+            break
+        segments_run += 1
         key, seg_key = jax.random.split(key)
         seg_keys = jax.random.split(seg_key, n_steps * 3).reshape(
             n_steps, 3, 2)
@@ -423,6 +482,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
             lr = max(lr / 1.5, 1e-4)
             opt_state = init_opt_state(lr)
             ema = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
+        save_ckpt(end)
 
     all_losses = np.concatenate(losses) if losses else np.zeros(0)
     all_gnorms = np.concatenate(gnorms) if gnorms else np.zeros(0)
@@ -456,7 +516,9 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                           diff_renderer, target_rgb, key=None, lr_init=5e-2,
                           Niter=100, optimizer="adam", adapt_reg=False,
                           adapt_params=(1.1, 1.5), param_to_check=None,
-                          laplacian_weight=5e-3, segment_size=50):
+                          laplacian_weight=5e-3, segment_size=50,
+                          checkpoint_dir=None, resume=False,
+                          max_segments=None):
     """Joint optimization of {vertex colors, deform, camera elev/azim, light
     location} (`/root/reference/experiments/eval.py:411-503`).
 
@@ -547,12 +609,60 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
     boundaries = [min(Niter, 250)]
     while boundaries[-1] < Niter:
         boundaries.append(min(Niter, boundaries[-1] + segment_size))
-    start = 0
+
+    resumed_from = 0
+    if resume and checkpoint_dir is not None:
+        from pertrenderer_tpu.utils import checkpoint as _ckpt
+
+        last = _ckpt.latest_step(checkpoint_dir)
+        if last is not None:
+            st = _ckpt.restore_checkpoint(checkpoint_dir, last)
+            lr = float(st["lr"])
+            renderer = renderer.replace(
+                rasterizer=renderer.rasterizer.update_blur(float(st["blur"])),
+                shader=renderer.shader.update_smoothing(
+                    sigma=jnp.asarray(st["sigma"]),
+                    gamma=jnp.asarray(st["gamma"]))
+                .update_nb_samples(int(st["nb_samples"])))
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(init_opt_state(lr)),
+                [jnp.asarray(x) for x in st["opt_leaves"]])
+            params = {k: jnp.asarray(st[f"param_{k}"]) for k in params}
+            best_params = {k: jnp.asarray(st[f"best_{k}"]) for k in params}
+            key = jnp.asarray(st["key"])
+            best_loss = jnp.asarray(st["best_loss"])
+            if np.size(st["losses"]):
+                losses.append(np.asarray(st["losses"]))
+            resumed_from = int(st["step"])
+
+    def save_ckpt(step_idx):
+        if checkpoint_dir is None:
+            return
+        from pertrenderer_tpu.utils import checkpoint as _ckpt
+
+        sig_, gam_, _ = renderer.shader.get_smoothing()
+        state = {"key": key, "best_loss": best_loss,
+                 "opt_leaves": list(jax.tree.leaves(opt_state)),
+                 "sigma": jnp.asarray(sig_), "gamma": jnp.asarray(gam_),
+                 "nb_samples": np.int64(renderer.shader.get_nb_samples()),
+                 "blur": np.float64(
+                     renderer.rasterizer.raster_settings.blur_radius),
+                 "lr": np.float64(lr), "step": np.int64(step_idx),
+                 "losses": np.concatenate(losses) if losses else np.zeros(0)}
+        state.update({f"param_{k}": v for k, v in params.items()})
+        state.update({f"best_{k}": v for k, v in best_params.items()})
+        _ckpt.save_checkpoint(checkpoint_dir, state, step_idx)
+
+    start = resumed_from
+    segments_run = 0
     scan_cache: Dict[Tuple[int, int], Any] = {}
     for end in boundaries:
         n_steps = end - start
         if n_steps <= 0:
             continue
+        if max_segments is not None and segments_run >= max_segments:
+            break
+        segments_run += 1
         sig = (n_steps, renderer.shader.get_nb_samples())
         if sig not in scan_cache:
             step = make_step(opt)
@@ -580,6 +690,7 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
             lr = lr / 1.5
             opt_state = init_opt_state(lr)
             scan_cache.clear()
+        save_ckpt(end)
 
     all_losses = np.concatenate(losses) if losses else np.zeros(0)
     return best_params, params, all_losses

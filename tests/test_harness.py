@@ -105,3 +105,57 @@ def test_cli_pose_opt(tmp_path):
     for f in ["angle_error.txt", "solved_percentage.txt", "params.txt",
               "exp_setup.txt"]:
         assert os.path.exists(str(tmp_path / "7" / f)), f
+
+
+def test_pose_opt_kill_and_resume_reproduces_trajectory(tmp_path):
+    """Checkpoint at a segment boundary + resume == the uninterrupted run,
+    exactly (pose, best iterate, loss history) — including the annealing
+    decision at the boundary."""
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup(imsize=24)
+    kw = dict(Niter=170, lr_init=3e-2, adapt_reg=True,
+              adapt_params=(1.1, 1.1), key=jax.random.PRNGKey(5))
+    full = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                 renderers[0], target_rgb, **kw)
+    ckpt = str(tmp_path / "ckpt")
+    killed = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                   renderers[0], target_rgb,
+                                   checkpoint_dir=ckpt, max_segments=1, **kw)
+    assert killed.losses.shape == (150,)
+    resumed = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                    renderers[0], target_rgb,
+                                    checkpoint_dir=ckpt, resume=True, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.log_rot),
+                                  np.asarray(full.log_rot))
+    np.testing.assert_array_equal(np.asarray(resumed.best_log_rot),
+                                  np.asarray(full.best_log_rot))
+    np.testing.assert_array_equal(resumed.losses, full.losses)
+
+
+def test_scene_params_checkpoint_roundtrip(tmp_path):
+    key = jax.random.PRNGKey(2)
+    param_to_check = {"camera": False, "vertices": False, "textures": False,
+                      "light": True}
+    (src_mesh, deform_init, verts_rgb_init, camera_elev, camera_azim,
+     lights_location) = harness.init_base_mesh_cameras_lights(
+        "sphere", param_to_check)
+    src_mesh = src_mesh.with_textures(
+        pt.TexturesVertex(jnp.ones_like(src_mesh.verts)))
+    _, _, _, target_rgb, _, _, _ = harness.init_target(key, imsize=24)
+    _, renderers = harness.init_renderers(
+        None, None, jnp.eye(3)[None], key, sigma=1e-4, gamma=1e-3,
+        nb_samples=2, noise_type=("gaussian",), imsize=24, faces_per_pixel=8)
+    ckpt = str(tmp_path / "ckpt_scene")
+    kw = dict(key=key, lr_init=5e-2, Niter=20, param_to_check=param_to_check)
+    best, final, losses = harness.optimize_scene_params(
+        src_mesh, camera_elev, camera_azim, lights_location, deform_init,
+        verts_rgb_init, renderers[0], [target_rgb[0][None]],
+        checkpoint_dir=ckpt, **kw)
+    # Resume after completion: restores the terminal state, nothing to run.
+    best2, final2, losses2 = harness.optimize_scene_params(
+        src_mesh, camera_elev, camera_azim, lights_location, deform_init,
+        verts_rgb_init, renderers[0], [target_rgb[0][None]],
+        checkpoint_dir=ckpt, resume=True, **kw)
+    np.testing.assert_array_equal(np.asarray(final2["lights_location"]),
+                                  np.asarray(final["lights_location"]))
+    np.testing.assert_array_equal(losses2, losses)

@@ -254,14 +254,18 @@ def compare_runtime(args):
                 imsize=args.image_size)
             for l, nt in enumerate(noise_type):
                 t_start = time.time()
-                harness.optimize_pose(
+                res = harness.optimize_pose(
                     meshes, cameras, lights, log_rot_init, renderers[l],
                     target_rgb, key=jax.random.fold_in(pkey, l),
                     lr_init=lr, Niter=args.num_iterations,
                     optimizer=args.optimizer, adapt_reg=adapt_reg,
                     adapt_params=adapt_param)
                 timing = time.time() - t_start
+                # Allocator stats where the backend exposes them, else the
+                # XLA memory analysis of the compiled step (always works).
                 mem = artifacts.device_peak_memory_mb()
+                if mem is None:
+                    mem = res.runtimes["memory_mb"][0]
                 runtimes[nt].append(timing)
                 memory_cons[nt].append(mem)
                 print(f"  {nt}: {timing:.2f}s peak memory: {mem} Mb",

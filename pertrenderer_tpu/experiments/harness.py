@@ -425,14 +425,24 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
         }, step_idx)
 
     scan_fn_cache: Dict[Tuple[int, int], Any] = {}
+    peak_memory_mb = [None]  # max XLA-reported footprint across segments
 
     def run_segment(n_steps, carry, seg_keys):
         sig = (n_steps, carry[5].shader.get_nb_samples())
         if sig not in scan_fn_cache:
+            from pertrenderer_tpu.utils.artifacts import (
+                compiled_peak_memory_mb)
+
             step = _make_pose_step(mesh, cameras, lights, target, opt)
-            scan_fn_cache[sig] = jax.jit(
+            jitted = jax.jit(
                 lambda c, xs: jax.lax.scan(step, c, xs, length=n_steps))
-        return scan_fn_cache[sig](carry, seg_keys)
+            compiled = jitted.lower(carry, seg_keys).compile()
+            scan_fn_cache[sig] = (compiled,
+                                  compiled_peak_memory_mb(compiled))
+        compiled, mem = scan_fn_cache[sig]
+        if mem is not None:
+            peak_memory_mb[0] = max(peak_memory_mb[0] or 0.0, mem)
+        return compiled(carry, seg_keys)
 
     start = resumed_from
     segments_run = 0
@@ -491,6 +501,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
         "segment": seg_times,
         "per_iter": [total / max(Niter, 1)],
         "total": [total],
+        "memory_mb": [peak_memory_mb[0]],
     }
     if artifacts_dir is not None:
         from pertrenderer_tpu.utils import artifacts as _art

@@ -123,7 +123,8 @@ def plot_solved_percentage(results_root: str, exp_id,
 def device_peak_memory_mb() -> Optional[float]:
     """Peak device memory in MB (the torch.cuda.max_memory_allocated analog,
     `/root/reference/experiments/eval.py:550,554`).  None if the backend does
-    not expose memory stats (e.g. CPU)."""
+    not expose memory stats (CPU, and TPU relays that hide allocator stats —
+    use :func:`compiled_peak_memory_mb` there)."""
     import jax
 
     try:
@@ -134,3 +135,17 @@ def device_peak_memory_mb() -> Optional[float]:
         return None
     peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
     return None if peak is None else peak * 1e-6
+
+
+def compiled_peak_memory_mb(compiled) -> Optional[float]:
+    """Device memory footprint in MB of an AOT-compiled XLA executable:
+    arguments + outputs + XLA temporaries (minus donated aliases), from the
+    compiler's own memory analysis.  Deterministic per program and available
+    on backends whose runtime allocator stats are hidden."""
+    try:
+        ma = compiled.memory_analysis()
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+    except Exception:
+        return None
+    return total * 1e-6

@@ -81,6 +81,12 @@ class MeshRenderer:
 
     def __call__(self, meshes, key=None, **kwargs):
         cameras = kwargs.get("cameras", self.rasterizer.cameras)
+        # Perturbed shaders on eligible scenes run the monolithic fused
+        # Pallas kernel (ops/fused_render.py): rasterize -> shade -> blend
+        # resident in VMEM, replacing the staged XLA pipeline below.
+        fused = self._try_fused(meshes, cameras, key, kwargs)
+        if fused is not None:
+            return fused
         # Shaders on the fused channel-major path take PlanarFragments
         # (RandomPhongShader / RandomSimpleShader); the baseline shaders use
         # the public PyTorch3D-layout Fragments.
@@ -89,3 +95,27 @@ class MeshRenderer:
         else:
             fragments = self.rasterizer(meshes, cameras=cameras)
         return self.shader(fragments, meshes, key=key, **kwargs)
+
+    _FUSED_SHADE = {"RandomPhongShader": "phong",
+                    "RandomSimpleShader": "none"}
+
+    def _try_fused(self, meshes, cameras, key, kwargs):
+        shader = self.shader
+        shade = self._FUSED_SHADE.get(type(shader).__name__)
+        if shade is None or cameras is None:
+            return None
+        if "znear" in kwargs or "zfar" in kwargs:
+            return None
+        # The staged path rasterizes through `cameras` but shades through the
+        # shader's own camera resolution; only fuse when they coincide.
+        if kwargs.get("cameras", shader.cameras) is not cameras:
+            return None
+        from pertrenderer_tpu.ops import fused_render
+
+        return fused_render.try_render(
+            meshes, cameras,
+            kwargs.get("lights", shader.lights),
+            kwargs.get("materials", shader.materials),
+            shader.smoothrast, shader.smoothagg,
+            kwargs.get("blend_params", shader.blend_params),
+            self.rasterizer.raster_settings, key, shade)

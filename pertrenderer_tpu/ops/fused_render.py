@@ -1,0 +1,913 @@
+"""Monolithic fused Pallas render kernel: rasterize -> shade -> texture ->
+perturbed estimators -> blend, all resident in VMEM.
+
+This is the TPU-native stand-in for the reference's CUDA hot loop — the
+PyTorch3D ``rasterize_meshes`` kernel consumed at
+`/root/reference/randomras/random_rasterizer.py:17` plus the entire shading /
+blending chain above it (`random_rasterizer.py:34-116`).  The XLA-composed
+pipeline (ops/rasterize.py + shading.py + blending.py) round-trips 13-40 MB
+fragment tensors through HBM ~20x per render; this kernel reads O(F) face
+tables, keeps every per-fragment quantity in VMEM, and writes the image once.
+
+Design
+------
+**Slots are faces.**  The perturbed blend
+(`/root/reference/randomras/random_rasterizer.py:34-56`) is permutation-
+invariant across the K fragment slots: coverage probabilities, the alpha
+product, the z_map aggregation and the weighted color sum are all symmetric
+in slots, and a zero-coverage slot is an exact no-op (prob 0, z_map -inf).
+So whenever F <= faces_per_pixel, top-K selection/sorting is unnecessary:
+every face gets its own slot and all per-fragment arrays are dense
+(F_pad, P_tile) channel-major blocks — pure 2-D outer-product math between
+(F_pad, 1) face-table columns and (1, P_tile) pixel coordinates.  No gathers,
+no sorts, no scatter.
+
+**Backward = in-kernel jax.vjp + PRNG replay.**  The deterministic segments
+(geometry/shading/texturing, the z_map preamble with ``log_corrected`` /
+``prod_corrected``, the blend) are differentiated *inside the backward
+kernel* with ``jax.vjp`` — so clip/min/max tie-handling and the corrected
+primitives' custom VJPs match the XLA path by construction.  The stochastic
+estimators use the reference's variance-reduced score-function gradients
+(`/root/reference/randomras/smoothrast.py:39-59`, ``smoothagg.py:44-73``),
+replaying the forward noise from a counter-based hash PRNG keyed on the
+*absolute* pixel position — identical bits in forward and backward, on
+compiled TPU and in interpreter mode (used by the CPU test suite).
+
+**Gamma-gradient channel count.**  The reference's gamma gradient uses
+``phi = ||Z||^2`` summed over all K+1 noise channels (smoothagg.py:54-56),
+so its mean depends on the channel count even though empty slots never win
+the argmax.  With F_pad+1 physical channels we add the deterministic
+compensation ``K - F_pad`` (the expectation of the missing empty-slot
+``Z^2`` terms, each ~ chi^2(1) with mean 1): the gamma gradient matches the
+K-slot XLA path exactly in expectation, with slightly lower variance.
+
+Supported configurations (others fall back to the XLA path — see
+``try_render``): every entry of the experiment noise menu
+(`/root/reference/experiments/eval.py:145-163`), Phong or texel-only
+shading, Point/Directional lights, vertex / atlas / baked-UV textures,
+perspective-correct and backface-cull options, batched via vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pertrenderer_tpu.ops.perturbed import log_corrected, prod_corrected
+from pertrenderer_tpu.ops.rasterize import _face_pixel_geometry
+
+__all__ = ["FusedConfig", "fused_available", "try_render", "MAX_SLOTS"]
+
+MAX_SLOTS = 256          # flat-mode face budget (F_pad <= MAX_SLOTS)
+_CAUCHY_CLAMP = 1e7
+
+# --- packed scalar-parameter layout (one (1, NS) f32 vector) ---------------
+_S_LIGHT = 0      # light location (point) or direction (directional)
+_S_LAMB = 3       # lights.ambient_color
+_S_LDIFF = 6      # lights.diffuse_color
+_S_LSPEC = 9      # lights.specular_color
+_S_MAMB = 12      # materials.ambient_color
+_S_MDIFF = 15     # materials.diffuse_color
+_S_MSPEC = 18     # materials.specular_color
+_S_SHIN = 21      # materials.shininess (non-diff: stop-gradient, see bwd)
+_S_CAM = 22       # camera center
+_S_BG = 25        # background color
+_S_ZNEAR = 28
+_S_ZFAR = 29
+_S_SIGMA = 30     # smoothrast.sigma
+_S_GAMMA = 31     # smoothagg.gamma
+_S_ALPHA = 32     # smoothagg.alpha
+_NS = 33
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedConfig:
+    """Static (trace-time) configuration of the fused kernel."""
+
+    image_size: int
+    f_pad: int                 # face slots (multiple of 8)
+    k: int                     # reference faces_per_pixel (phi channel count)
+    p_tile: int                # pixels per grid step (multiple of 128)
+    blur_radius: float
+    rast_kind: str             # 'soft' | 'affine' | 'hard' | 'mc'
+    rast_noise: str            # 'gaussian' | 'cauchy'
+    rast_vr: bool
+    s_rast: int
+    agg_kind: str              # 'soft' | 'hard' | 'mc'
+    agg_noise: str
+    agg_vr: bool
+    s_agg: int
+    eps_bg: float
+    shade: str                 # 'phong' | 'none'
+    light_kind: str            # 'point' | 'directional'
+    tex_mode: str              # 'corner' | 'atlas'
+    tex_d: int                 # columns of the texel table
+    atlas_r: int
+    clip_bary: bool
+    perspective_correct: bool
+    interpret: bool
+
+    @property
+    def c_zpad(self) -> int:
+        # z_map rows: F_pad slots + background, padded to a sublane multiple
+        return _round_up(self.f_pad + 1, 8)
+
+
+# ---------------------------------------------------------------------------
+# Counter-based hash PRNG (murmur3 finalizer), identical on CPU/TPU.
+# ---------------------------------------------------------------------------
+
+def _mix(x):
+    x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 16))
+    x = x * jnp.int32(-2048144789)        # 0x85EBCA6B
+    x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 13))
+    x = x * jnp.int32(-1028477387)        # 0xC2B2AE35
+    x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 16))
+    return x
+
+
+def _uniform01(h):
+    """Low 23 bits -> uniform (0, 1); mask keeps the int32 carrier
+    non-negative (Mosaic has no uint32->f32 cast)."""
+    m = jnp.bitwise_and(h, jnp.int32(0x7FFFFF))
+    return (m.astype(jnp.float32) + 0.5) * (2.0 ** -23)
+
+
+def _draw(noise_type: str, seed0, seed1, s, rows, pos):
+    """One standard noise draw, a pure function of (seed, sample index s,
+    channel row, absolute pixel position).  Position-keyed streams make the
+    backward replay exact regardless of tiling."""
+    base = pos + rows * jnp.int32(1 << 22)          # pos < 2^22 (<= 2048^2)
+    x = _mix(base)
+    x = _mix(jnp.bitwise_xor(x, seed0 + s * jnp.int32(-1640531527)))
+    x = jnp.bitwise_xor(x, seed1)
+    if noise_type == "gaussian":
+        u1 = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
+        u2 = _uniform01(_mix(x + jnp.int32(-1150833019)))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        return r * jnp.cos((2.0 * np.pi) * u2)
+    u = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
+    if noise_type == "cauchy":
+        return jnp.clip(jnp.tan(np.pi * (u - 0.5)), -_CAUCHY_CLAMP,
+                        _CAUCHY_CLAMP)
+    raise ValueError(f"fused kernel: noise {noise_type!r} unsupported")
+
+
+def _score(noise, noise_type: str):
+    if noise_type == "gaussian":
+        return noise
+    return 2.0 * noise / (1.0 + noise * noise)      # cauchy
+
+
+def _heaviside(x):
+    return jnp.where(x >= 0, 1.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Tile-level pipeline pieces (pure jnp; shared by fwd and bwd kernels)
+# ---------------------------------------------------------------------------
+
+def _col(tab, i):
+    return tab[:, i:i + 1]
+
+
+def _tile_coords(cfg: FusedConfig, tile):
+    """Absolute pixel position (1, P) and NDC center coords for this tile."""
+    p = cfg.p_tile
+    w = h = cfg.image_size
+    pos = tile * p + jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    colf = (pos % w).astype(jnp.float32)
+    rowf = (pos // w).astype(jnp.float32)
+    px = (w - 1.0 - 2.0 * colf) / w
+    py = (h - 1.0 - 2.0 * rowf) / h
+    pixvalid = pos < (h * w)
+    return pos, px, py, pixvalid
+
+
+def _make_det1(cfg: FusedConfig, px, py, pixvalid, validb):
+    """Geometry + texturing + shading: tables -> (dist, z, c0, c1, c2, maskf).
+
+    ``maskf`` (per-slot candidacy, float) is a stop-gradient output.  Colors,
+    interpolated points/normals and texels are masked exactly where the XLA
+    path's gather masks them (empty fragments read as zero), which also keeps
+    inf/nan off the non-candidate slots so the in-kernel vjp stays clean.
+    """
+
+    def det1(fv_ndc, fv_world, fn_world, tex, scal):
+        coords = [_col(fv_ndc, i) for i in range(9)]
+        w0, w1, w2, z, dist, inside, degen = _face_pixel_geometry(
+            px, py, *coords, cfg.clip_bary, cfg.perspective_correct)
+        cand = ((inside | (dist <= cfg.blur_radius)) & ~degen
+                & validb & (z > 0) & pixvalid)
+        maskf = jax.lax.stop_gradient(cand.astype(jnp.float32))
+
+        # Texel colors per slot (masked like the XLA gather: empty -> 0).
+        if cfg.tex_mode == "corner":
+            texel = [(w0 * _col(tex, c) + w1 * _col(tex, 3 + c)
+                      + w2 * _col(tex, 6 + c)) * maskf for c in range(3)]
+        else:  # atlas: (F_pad, R*R*3), cell from quantized (w1, w2)
+            r = cfg.atlas_r
+            xi = jnp.clip((jnp.clip(w1, 0.0, 1.0) * r).astype(jnp.int32),
+                          0, r - 1)
+            yi = jnp.clip((jnp.clip(w2, 0.0, 1.0) * r).astype(jnp.int32),
+                          0, r - 1)
+            cell = yi * r + xi
+            texel = [jnp.zeros_like(w0) for _ in range(3)]
+            for j in range(r * r):
+                sel = (cell == j).astype(jnp.float32) * maskf
+                for c in range(3):
+                    texel[c] = texel[c] + sel * _col(tex, j * 3 + c)
+
+        if cfg.shade == "none":
+            c0, c1, c2 = texel
+        else:
+            sc = lambda i: scal[0, i]
+            # Interpolate world positions / vertex normals (masked, like the
+            # XLA interp-gather; normals are NOT re-normalized, matching
+            # shading.phong_shading_cm).
+            pnt = [(w0 * _col(fv_world, v) + w1 * _col(fv_world, 3 + v)
+                    + w2 * _col(fv_world, 6 + v)) * maskf for v in range(3)]
+            nrm = [(w0 * _col(fn_world, v) + w1 * _col(fn_world, 3 + v)
+                    + w2 * _col(fn_world, 6 + v)) * maskf for v in range(3)]
+            if cfg.light_kind == "point":
+                tl = [sc(_S_LIGHT + v) - pnt[v] for v in range(3)]
+            else:
+                tl = [jnp.broadcast_to(-sc(_S_LIGHT + v), pnt[v].shape)
+                      for v in range(3)]
+            tln = jnp.sqrt(tl[0] * tl[0] + tl[1] * tl[1] + tl[2] * tl[2])
+            tl = [v / jnp.maximum(tln, 1e-8) for v in tl]
+            cos = nrm[0] * tl[0] + nrm[1] * tl[1] + nrm[2] * tl[2]
+
+            vd = [sc(_S_CAM + v) - pnt[v] for v in range(3)]
+            vdn = jnp.sqrt(vd[0] * vd[0] + vd[1] * vd[1] + vd[2] * vd[2])
+            vd = [v / jnp.maximum(vdn, 1e-8) for v in vd]
+            refl = [2.0 * cos * nrm[v] - tl[v] for v in range(3)]
+            spec_a = jnp.maximum(
+                vd[0] * refl[0] + vd[1] * refl[1] + vd[2] * refl[2], 0.0)
+            facing = (cos > 0.0).astype(jnp.float32)
+            shin = jax.lax.stop_gradient(sc(_S_SHIN))
+            spec_pow = facing * jnp.power(spec_a, shin)
+
+            cmax = jnp.maximum(cos, 0.0)
+            out = []
+            for c in range(3):
+                ambient = sc(_S_MAMB + c) * sc(_S_LAMB + c)
+                diffuse = cmax * sc(_S_LDIFF + c) * sc(_S_MDIFF + c)
+                specular = spec_pow * sc(_S_LSPEC + c) * sc(_S_MSPEC + c)
+                out.append((ambient + diffuse) * texel[c] + specular)
+            c0, c1, c2 = out
+        return dist, z, c0, c1, c2, maskf
+
+    return det1
+
+
+def _make_det_rast(cfg: FusedConfig):
+    """Deterministic coverage front-ends (models/smoothrast.py semantics)."""
+
+    def det_rast(dist, scal):
+        sigma = scal[0, _S_SIGMA]
+        if cfg.rast_kind == "soft":
+            return jax.nn.sigmoid(-dist / sigma)
+        if cfg.rast_kind == "affine":
+            p = -dist / sigma + 0.5
+            p = jnp.where(-dist / sigma > 0.5, jnp.ones_like(p), p)
+            return jnp.maximum(p, 0.0)
+        if cfg.rast_kind == "hard":
+            return _heaviside(-dist)
+        raise AssertionError(cfg.rast_kind)
+
+    return det_rast
+
+
+def _make_det2(cfg: FusedConfig, maskf):
+    """The shared aggregation preamble (models/smoothagg.py:43-58):
+    z_inv, corrected log-prob scaling, background channel, -inf row pad."""
+
+    def det2(prob, z, scal):
+        znear = scal[0, _S_ZNEAR]
+        zfar = scal[0, _S_ZFAR]
+        z_inv = (zfar - z) / (zfar - znear) * maskf
+        z_inv_max = jnp.maximum(jnp.max(z_inv, axis=0, keepdims=True),
+                                cfg.eps_bg)
+        lp = log_corrected(prob)
+        if cfg.agg_kind == "hard":
+            scaled = jnp.float32(1.0 / 1e6) * lp       # smoothagg.py:281
+        else:
+            gal = scal[0, _S_GAMMA] / scal[0, _S_ALPHA]
+            scaled = prod_corrected(gal, lp)
+        zmap = scaled + z_inv - z_inv_max
+        bg = cfg.eps_bg - z_inv_max
+        rows = [zmap, bg]
+        n_pad = cfg.c_zpad - cfg.f_pad - 1
+        if n_pad:
+            rows.append(jnp.full((n_pad, zmap.shape[1]), -jnp.inf,
+                                 jnp.float32))
+        return jnp.concatenate(rows, axis=0)
+
+    return det2
+
+
+def _det2b_soft(zmap_full, scal):
+    """SoftAgg: softmax(prod_corrected(1/gamma, z_map))
+    (models/smoothagg.py:80)."""
+    inv_gamma = 1.0 / scal[0, _S_GAMMA]
+    return jax.nn.softmax(prod_corrected(inv_gamma, zmap_full), axis=0)
+
+
+def _hard_onehot_rows(zf):
+    """First-wins one-hot of the row-axis argmax (torch.max semantics,
+    `/root/reference/randomras/smoothagg.py:283-287`)."""
+    zmax = jnp.max(zf, axis=0, keepdims=True)
+    ism = zf >= zmax
+    ridx = jax.lax.broadcasted_iota(jnp.int32, zf.shape, 0)
+    first = jnp.min(jnp.where(ism, ridx, jnp.int32(1 << 30)), axis=0,
+                    keepdims=True)
+    return (ridx == first).astype(jnp.float32)
+
+
+def _make_det3(cfg: FusedConfig):
+    """Blend: weighted colors + background, alpha = 1 - prod(1 - prob)
+    (`/root/reference/randomras/random_rasterizer.py:48-54`).  The alpha
+    product is an unrolled multiply chain so its vjp is Mosaic-friendly."""
+
+    def det3(weights, prob, c0, c1, c2, scal):
+        wz = weights[:cfg.f_pad]
+        wb = weights[cfg.f_pad:cfg.f_pad + 1]
+        rgb = []
+        for c, cc in enumerate((c0, c1, c2)):
+            rgb.append(jnp.sum(wz * cc, axis=0, keepdims=True)
+                       + wb * scal[0, _S_BG + c])
+        ap = jnp.ones((1, prob.shape[1]), jnp.float32)
+        for i in range(cfg.f_pad):
+            ap = ap * (1.0 - prob[i:i + 1])
+        return jnp.concatenate(rgb + [1.0 - ap], axis=0)
+
+    return det3
+
+
+# --- MC estimator sample loops (hash-PRNG; replayed in backward) -----------
+
+def _mc_rast_forward(cfg, d, sigma, s0, s1, pos):
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+
+    def body(s, acc):
+        z = _draw(cfg.rast_noise, s0, s1, s, rows, pos)
+        return acc + _heaviside(d + sigma * z)
+
+    acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
+    return acc * (1.0 / cfg.s_rast)
+
+
+def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos):
+    """Variance-reduced score coefficient: grad wrt d is coeff * g and the
+    sigma grad is sum(coeff * g) (the reference's sigma-grad overwrite quirk,
+    `/root/reference/randomras/smoothrast.py:55-58`)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    h0 = _heaviside(d) if cfg.rast_vr else jnp.zeros_like(d)
+
+    def body(s, acc):
+        z = _draw(cfg.rast_noise, s0, s1, s, rows, pos)
+        h = _heaviside(d + sigma * z)
+        return acc + (h - h0) * _score(z, cfg.rast_noise)
+
+    acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
+    return acc / (cfg.s_rast * sigma)
+
+
+def _onehot_ge(z):
+    zmax = jnp.max(z, axis=0, keepdims=True)
+    return (z >= zmax).astype(jnp.float32)
+
+
+def _mc_agg_forward(cfg, zmap_full, gamma, s0, s1, pos):
+    rows = jax.lax.broadcasted_iota(jnp.int32, zmap_full.shape, 0)
+
+    def body(s, acc):
+        n = _draw(cfg.agg_noise, s0, s1, s, rows, pos)
+        return acc + _onehot_ge(zmap_full + gamma * n)
+
+    acc = jax.lax.fori_loop(0, cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    return acc * (1.0 / cfg.s_agg)
+
+
+def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
+    """Perturbed-argmax backward (`/root/reference/randomras/smoothagg.py:44-73`)
+    replayed from the seed.  Returns (g_zmap, gamma_term (1, P)).
+
+    phi uses the deterministic channel-count compensation (see module
+    docstring): real rows contribute their drawn Z^2, the K-F_pad empty
+    XLA-path channels contribute their expectation 1 each.
+    """
+    shape = zmap_full.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cmask = (rows <= cfg.f_pad).astype(jnp.float32)      # slots + background
+    if cfg.f_pad <= cfg.k:
+        phimask = cmask
+        phi_comp = float(cfg.k - cfg.f_pad)
+    else:
+        phimask = ((rows < cfg.k) | (rows == cfg.f_pad)).astype(jnp.float32)
+        phi_comp = 0.0
+    w0 = _onehot_ge(zmap_full) if cfg.agg_vr else jnp.zeros_like(zmap_full)
+
+    def body(s, carry):
+        acc_z, acc_g = carry
+        n = _draw(cfg.agg_noise, s0, s1, s, rows, pos) * cmask
+        w = _onehot_ge(zmap_full + gamma * n)
+        diff = (w - w0) * cmask
+        dot = jnp.sum(g_w * diff, axis=0, keepdims=True)
+        acc_z = acc_z + dot * _score(n, cfg.agg_noise)
+        if cfg.agg_noise == "gaussian":
+            phi = jnp.sum(n * n * phimask, axis=0, keepdims=True) + phi_comp
+        else:
+            phi = (jnp.sum(_score(n, cfg.agg_noise) * n * phimask, axis=0,
+                           keepdims=True) + phi_comp)
+        acc_g = acc_g + dot * (phi - 1.0)
+        return acc_z, acc_g
+
+    acc_z, acc_g = jax.lax.fori_loop(
+        0, cfg.s_agg, body,
+        (jnp.zeros(shape, jnp.float32),
+         jnp.zeros((1, shape[1]), jnp.float32)))
+    return acc_z / (cfg.s_agg * gamma), acc_g / (cfg.s_agg * gamma)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _tile_setup(cfg, tile_ref, valid_ref, fv_ndc_ref):
+    tile = tile_ref[0, 0, 0]
+    pos, px, py, pixvalid = _tile_coords(cfg, tile)
+    validb = valid_ref[:] > 0.5                          # (F_pad, 1)
+    # Face-level behind-camera cull (ops/rasterize.py:_face_validity).
+    zmaxf = jnp.maximum(jnp.maximum(_col(fv_ndc_ref[:], 2),
+                                    _col(fv_ndc_ref[:], 5)),
+                        _col(fv_ndc_ref[:], 8))
+    validb = validb & (zmaxf > 0)
+    return pos, px, py, pixvalid, validb
+
+
+def _forward_kernel(tile_ref, seeds_ref, fv_ndc_ref, fv_world_ref, fn_ref,
+                    tex_ref, valid_ref, scal_ref, out_ref, *, cfg):
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+    det1 = _make_det1(cfg, px, py, pixvalid, validb)
+    dist, z, c0, c1, c2, maskf = det1(
+        fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
+
+    if cfg.rast_kind == "mc":
+        prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
+                                    seeds_ref[0, 0], seeds_ref[0, 1], pos)
+    else:
+        prob_raw = _make_det_rast(cfg)(dist, scal)
+    prob = prob_raw * maskf
+
+    zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
+    if cfg.agg_kind == "soft":
+        weights = _det2b_soft(zmap_full, scal)
+    elif cfg.agg_kind == "hard":
+        weights = _hard_onehot_rows(zmap_full)
+    else:
+        weights = _mc_agg_forward(cfg, zmap_full, scal[0, _S_GAMMA],
+                                  seeds_ref[0, 2], seeds_ref[0, 3], pos)
+    out_ref[:] = _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
+
+
+def _backward_kernel(tile_ref, seeds_ref, fv_ndc_ref, fv_world_ref, fn_ref,
+                     tex_ref, valid_ref, scal_ref, g_out_ref,
+                     g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref,
+                     *, cfg):
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+    g_rgba = g_out_ref[:]
+
+    det1 = _make_det1(cfg, px, py, pixvalid, validb)
+    (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
+        det1, fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
+
+    sigma = scal[0, _S_SIGMA]
+    gamma = scal[0, _S_GAMMA]
+    if cfg.rast_kind == "mc":
+        prob_raw = _mc_rast_forward(cfg, -dist, sigma, seeds_ref[0, 0],
+                                    seeds_ref[0, 1], pos)
+        vjp_rast = None
+    else:
+        prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+    prob = prob_raw * maskf
+
+    (zmap_full), vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
+    if cfg.agg_kind == "soft":
+        weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
+    elif cfg.agg_kind == "hard":
+        weights, vjp2b = _hard_onehot_rows(zmap_full), None
+    else:
+        weights = _mc_agg_forward(cfg, zmap_full, gamma, seeds_ref[0, 2],
+                                  seeds_ref[0, 3], pos)
+        vjp2b = None
+
+    _, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2, scal)
+    g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
+
+    # Aggregation backward -> g_zmap (+ gamma score term).
+    g_scal_extra = jnp.zeros_like(g_scal3)
+    if cfg.agg_kind == "soft":
+        g_zmap, g_scal2b = vjp2b(g_weights)
+        g_scal_extra = g_scal_extra + g_scal2b
+    elif cfg.agg_kind == "hard":
+        g_zmap = jnp.zeros_like(zmap_full)
+    else:
+        g_zmap, gamma_term = _mc_agg_grads(
+            cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
+            seeds_ref[0, 3], pos)
+        cols = jax.lax.broadcasted_iota(jnp.int32, g_scal3.shape, 1)
+        g_scal_extra = g_scal_extra + jnp.where(
+            cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
+
+    g_prob2, g_z, g_scal2 = vjp2(g_zmap)
+    g_prob = g_prob2 + g_prob3
+    g_prob_raw = g_prob * maskf
+
+    # Coverage backward -> g_dist (+ sigma grad).
+    if cfg.rast_kind == "mc":
+        coeff = _mc_rast_coeff(cfg, -dist, sigma, seeds_ref[0, 0],
+                               seeds_ref[0, 1], pos)
+        g_d = coeff * g_prob_raw
+        g_dist = -g_d
+        cols = jax.lax.broadcasted_iota(jnp.int32, g_scal3.shape, 1)
+        g_scal_extra = g_scal_extra + jnp.where(
+            cols == _S_SIGMA, jnp.sum(g_d), 0.0)
+    else:
+        g_dist, g_scal_r = vjp_rast(g_prob_raw)
+        g_scal_extra = g_scal_extra + g_scal_r
+
+    g_ndc, g_world, g_fn, g_tex, g_scal1 = vjp1(
+        (g_dist, g_z, g_c0, g_c1, g_c2, jnp.zeros_like(maskf)))
+    g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
+
+    first = tile_ref[0, 0, 0] == 0
+
+    @pl.when(first)
+    def _init():
+        g_ndc_ref[:] = g_ndc
+        g_world_ref[:] = g_world
+        g_fn_ref[:] = g_fn
+        g_tex_ref[:] = g_tex
+        g_scal_ref[:] = g_scal
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        g_ndc_ref[:] = g_ndc_ref[:] + g_ndc
+        g_world_ref[:] = g_world_ref[:] + g_world
+        g_fn_ref[:] = g_fn_ref[:] + g_fn
+        g_tex_ref[:] = g_tex_ref[:] + g_tex
+        g_scal_ref[:] = g_scal_ref[:] + g_scal
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, s=nd: (0,) * s,
+                        memory_space=pltpu.VMEM)
+
+
+def _common_specs(cfg: FusedConfig):
+    f, dt = cfg.f_pad, cfg.tex_d
+    return [
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # tile ids
+        _const_spec((1, 8)),                            # seeds
+        _const_spec((f, 9)),                            # fv_ndc
+        _const_spec((f, 9)),                            # fv_world
+        _const_spec((f, 9)),                            # fn_world
+        _const_spec((f, dt)),                           # tex
+        _const_spec((f, 1)),                            # valid
+        _const_spec((1, _NS)),                          # scal
+    ]
+
+
+def _n_tiles(cfg: FusedConfig) -> int:
+    hw = cfg.image_size * cfg.image_size
+    return -(-hw // cfg.p_tile)
+
+
+def _tile_ids(cfg: FusedConfig):
+    return jnp.arange(_n_tiles(cfg), dtype=jnp.int32).reshape(-1, 1, 1)
+
+
+def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+    nt = _n_tiles(cfg)
+    out = pl.pallas_call(
+        partial(_forward_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_common_specs(cfg),
+        out_specs=pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), seeds, fv_ndc, fv_world, fn, tex, valid, scal)
+    return out
+
+
+def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+                     g_out):
+    nt = _n_tiles(cfg)
+    f, dt = cfg.f_pad, cfg.tex_d
+    acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
+                                     memory_space=pltpu.VMEM)
+    grads = pl.pallas_call(
+        partial(_backward_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_common_specs(cfg) + [
+            pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(acc((f, 9)), acc((f, 9)), acc((f, 9)), acc((f, dt)),
+                   acc((1, _NS))),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, dt), jnp.float32),
+            jax.ShapeDtypeStruct((1, _NS), jnp.float32),
+        ),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), seeds, fv_ndc, fv_world, fn, tex, valid, scal, g_out)
+    return grads
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_core(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+    return _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal,
+                           seeds)
+
+
+def _fused_core_fwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+    out = _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds)
+    return out, (fv_ndc, fv_world, fn, tex, valid, scal, seeds)
+
+
+def _fused_core_bwd(cfg, res, g):
+    fv_ndc, fv_world, fn, tex, valid, scal, seeds = res
+    g_ndc, g_world, g_fn, g_tex, g_scal = _pallas_backward(
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, g)
+    g_seeds = np.zeros(seeds.shape, jax.dtypes.float0)
+    return (g_ndc, g_world, g_fn, g_tex, jnp.zeros_like(valid), g_scal,
+            g_seeds)
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Eligibility + public entry
+# ---------------------------------------------------------------------------
+
+def _fused_mode() -> str:
+    """'auto' (TPU only, default), 'off', or 'interpret' (CPU tests)."""
+    return os.environ.get("PERTRENDERER_FUSED", "auto")
+
+
+def fused_available() -> bool:
+    mode = _fused_mode()
+    if mode == "off":
+        return False
+    if mode == "interpret":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+_RAST_MAP = {
+    "SoftRast": ("soft", "gaussian", True),
+    "GaussianRast": ("mc", "gaussian", True),
+    "GaussianRast_wovr": ("mc", "gaussian", False),
+    "ArctanRast": ("mc", "cauchy", True),
+    "AffineRast": ("affine", "gaussian", True),
+    "HardRast": ("hard", "gaussian", True),
+}
+
+_AGG_MAP = {
+    "SoftAgg": ("soft", "gaussian", True),
+    "GaussianAgg": ("mc", "gaussian", True),
+    "GaussianAgg_wovr": ("mc", "gaussian", False),
+    "CauchyAgg": ("mc", "cauchy", True),
+    "HardAgg": ("hard", "gaussian", True),
+}
+
+
+def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+          settings, shade: str) -> Optional[FusedConfig]:
+    from pertrenderer_tpu.lights import DirectionalLights, PointLights
+    from pertrenderer_tpu.textures import (TexturesAtlas, TexturesUV,
+                                           TexturesVertex)
+
+    if not fused_available():
+        return None
+    rast_entry = _RAST_MAP.get(type(smoothrast).__name__)
+    agg_entry = _AGG_MAP.get(type(smoothagg).__name__)
+    if rast_entry is None or agg_entry is None:
+        return None
+    if getattr(smoothrast, "sample_axis", None) is not None:
+        return None
+    if getattr(smoothagg, "sample_axis", None) is not None:
+        return None
+
+    f = int(meshes.max_faces)
+    k = int(settings.faces_per_pixel)
+    f_pad = _round_up(max(f, 8), 8)
+    # Exactness condition: every face can hold a slot (no top-K truncation).
+    if f > k or f_pad > MAX_SLOTS:
+        return None
+    if settings.image_size > 2048:
+        return None
+
+    tex = meshes.textures
+    if tex is None:
+        return None   # the XLA path raises; keep behavior identical
+    if isinstance(tex, TexturesVertex):
+        if tex.verts_features.shape[-1] != 3:
+            return None
+        tex_mode, tex_d, atlas_r = "corner", 9, 0
+    elif isinstance(tex, TexturesAtlas):
+        r = tex.atlas.shape[2]
+        if tex.atlas.shape[-1] != 3 or r > 8:
+            return None
+        tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
+    elif isinstance(tex, TexturesUV):
+        r = tex.atlas_size
+        if not r or r > 8 or tex.maps.shape[-1] != 3:
+            return None
+        tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
+    else:
+        return None
+
+    if isinstance(lights, PointLights):
+        light_kind = "point"
+    elif isinstance(lights, DirectionalLights):
+        light_kind = "directional"
+    else:
+        return None
+
+    hw = settings.image_size * settings.image_size
+    p_tile = min(1024, _round_up(hw, 128))
+
+    rast_kind, rast_noise, rast_vr = rast_entry
+    agg_kind, agg_noise, agg_vr = agg_entry
+    return FusedConfig(
+        image_size=settings.image_size,
+        f_pad=f_pad,
+        k=k,
+        p_tile=p_tile,
+        blur_radius=float(settings.blur_radius),
+        rast_kind=rast_kind, rast_noise=rast_noise, rast_vr=rast_vr,
+        s_rast=int(getattr(smoothrast, "nb_samples", 1)),
+        agg_kind=agg_kind, agg_noise=agg_noise, agg_vr=agg_vr,
+        s_agg=int(getattr(smoothagg, "nb_samples", 1)),
+        eps_bg=float(smoothagg.eps),
+        shade=shade,
+        light_kind=light_kind,
+        tex_mode=tex_mode, tex_d=tex_d, atlas_r=atlas_r,
+        clip_bary=settings.resolve_clip(),
+        perspective_correct=bool(settings.perspective_correct),
+        interpret=_fused_mode() == "interpret",
+    )
+
+
+def _gather_rows(table, faces):
+    """(V, C) table, (F, 3) int32 faces -> (F, 3C).  Plain row indexing —
+    F is small (<= MAX_SLOTS), so XLA's scalar gather is fine here."""
+    return table[faces].reshape(faces.shape[0], -1)
+
+
+def _key_words(key):
+    data = jax.random.key_data(key) if jnp.issubdtype(
+        key.dtype, jax.dtypes.prng_key) else jnp.asarray(key)
+    data = data.reshape(-1).astype(jnp.uint32)
+    return data[0].astype(jnp.int32), data[-1].astype(jnp.int32)
+
+
+def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
+               blend_params, settings, key, shade: str):
+    """Render via the fused kernel, or return None if the configuration is
+    not fused-eligible (caller falls back to the XLA-composed path)."""
+    from pertrenderer_tpu.textures import TexturesUV, TexturesVertex
+
+    cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+                settings, shade)
+    if cfg is None:
+        return None
+
+    n = meshes.batch_size
+    f = meshes.max_faces
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if isinstance(key, tuple):
+        key_rast, key_agg = key
+    else:
+        key_rast, key_agg = jax.random.split(key)
+    if getattr(smoothagg, "fixed_noise", False):
+        # Deterministic renders reseed to 1 (smoothagg.py:18-19).
+        key_agg = jax.random.PRNGKey(1)
+
+    def batch_seeds(k):
+        def one(i):
+            w0, w1 = _key_words(jax.random.fold_in(k, i))
+            return jnp.stack([w0, w1])
+        return jax.vmap(one)(jnp.arange(n))
+    sr = batch_seeds(key_rast)                          # (N, 2)
+    sa = batch_seeds(key_agg)
+    seeds = jnp.concatenate(
+        [sr, sa, jnp.zeros((n, 4), jnp.int32)], axis=1)[:, None, :]
+
+    verts_ndc = cameras.transform_points_ndc(meshes.verts)   # (N, V, 3)
+    faces = jnp.maximum(meshes.faces, 0)
+
+    fv_ndc = jax.vmap(_gather_rows)(verts_ndc, faces)        # (N, F, 9)
+    fv_world = jax.vmap(_gather_rows)(meshes.verts, faces)
+    if shade == "phong":
+        fn_world = jax.vmap(_gather_rows)(meshes.verts_normals(), faces)
+    else:
+        fn_world = jnp.zeros_like(fv_world)
+
+    tex = meshes.textures
+    if cfg.tex_mode == "corner":
+        if isinstance(tex, TexturesVertex):
+            feats = jnp.broadcast_to(
+                tex.verts_features,
+                (n,) + tex.verts_features.shape[1:])
+            tex_tab = jax.vmap(_gather_rows)(feats, faces)
+        else:
+            tex_tab = jnp.ones((n, f, 9), jnp.float32)
+    else:
+        if isinstance(tex, TexturesUV):
+            atlas = tex._bake_atlas()                    # (N, F, R, R, 3)
+        else:
+            atlas = tex.atlas
+        atlas = jnp.broadcast_to(atlas, (n,) + atlas.shape[1:])
+        tex_tab = atlas.reshape(n, f, -1)
+
+    def pad_f(x):
+        return jnp.pad(x, ((0, 0), (0, cfg.f_pad - f), (0, 0)))
+    fv_ndc, fv_world, fn_world, tex_tab = (
+        pad_f(fv_ndc), pad_f(fv_world), pad_f(fn_world), pad_f(tex_tab))
+
+    face_ids = jnp.arange(cfg.f_pad, dtype=jnp.int32)
+    validf = ((face_ids[None, :] < meshes.num_faces[:, None])
+              & jnp.all(jnp.pad(meshes.faces,
+                                ((0, 0), (0, cfg.f_pad - f), (0, 0)),
+                                constant_values=-1) >= 0, axis=-1))
+    if settings.cull_backfaces:
+        area = ((fv_ndc[..., 3] - fv_ndc[..., 0])
+                * (fv_ndc[..., 7] - fv_ndc[..., 1])
+                - (fv_ndc[..., 4] - fv_ndc[..., 1])
+                * (fv_ndc[..., 6] - fv_ndc[..., 0]))
+        validf = validf & (area > 0)
+    valid = validf.astype(jnp.float32)[..., None]        # (N, F_pad, 1)
+
+    def b3(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(x, (n, 3))
+
+    def b1(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(jnp.atleast_1d(x), (n,))
+
+    light_vec = (lights.location if cfg.light_kind == "point"
+                 else lights.direction)
+    scal = jnp.concatenate([
+        b3(light_vec), b3(lights.ambient_color), b3(lights.diffuse_color),
+        b3(lights.specular_color), b3(materials.ambient_color),
+        b3(materials.diffuse_color), b3(materials.specular_color),
+        b1(materials.shininess)[:, None], b3(cameras.camera_center()),
+        b3(jnp.asarray(blend_params.background_color, jnp.float32)),
+        b1(cameras.znear)[:, None], b1(cameras.zfar)[:, None],
+        b1(smoothrast.sigma)[:, None], b1(smoothagg.gamma)[:, None],
+        b1(smoothagg.alpha)[:, None],
+    ], axis=1)[:, None, :]                               # (N, 1, NS)
+
+    out = jax.vmap(partial(_fused_core, cfg))(
+        fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds)
+    hw = cfg.image_size * cfg.image_size
+    rgba = out[:, :, :hw].reshape(n, 4, cfg.image_size, cfg.image_size)
+    return jnp.moveaxis(rgba, 1, -1)

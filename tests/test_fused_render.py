@@ -1,0 +1,258 @@
+"""Parity tests for the monolithic fused Pallas renderer (interpret mode).
+
+The fused kernel must reproduce the staged XLA pipeline:
+  * exactly (~1e-5) for the deterministic menu entries (softras / hard /
+    uniform), forward AND gradients — including the learnable sigma / gamma /
+    alpha and scene parameters;
+  * in expectation for the stochastic families (their PRNG streams differ by
+    construction), which the estimator-level statistical tests cover
+    (`test_fused_estimator_stats`).
+
+On CPU the fused kernel runs through the Pallas interpreter; the counter-based
+hash PRNG is bit-identical between interpreter and compiled TPU (verified on
+hardware), so these tests exercise the same numerics the chip runs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pertrenderer_tpu as pt
+from pertrenderer_tpu.ops import fused_render as fr
+from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+KEY = jax.random.PRNGKey(3)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    yield
+
+
+def _build(noise="softras", imsize=16, k=16, s=4, shade="phong",
+           textures="uv", lights_kind="point", perspective_correct=False,
+           cull=False, n_views=1):
+    from pertrenderer_tpu.experiments.harness import make_smoothers
+
+    mesh = pt.load_cube().scale_verts(2.0)
+    if textures == "vertex":
+        mesh = mesh.with_textures(pt.TexturesVertex(
+            jnp.linspace(0.1, 1.0, mesh.max_verts * 3).reshape(
+                1, mesh.max_verts, 3)))
+    if n_views > 1:
+        mesh = mesh.extend(n_views)
+    r, t = pt.look_at_view_transform(
+        dist=6.7, elev=jnp.linspace(20.0, 40.0, n_views),
+        azim=jnp.linspace(100.0, 140.0, n_views))
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    if lights_kind == "point":
+        lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    else:
+        lights = pt.DirectionalLights.create(direction=(0.3, -1.0, 0.2))
+    sigma, gamma = 1e-2, 5e-1
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    settings = pt.RasterizationSettings(
+        image_size=imsize, blur_radius=blur, faces_per_pixel=k,
+        perspective_correct=perspective_correct, cull_backfaces=cull)
+    sr, sa = make_smoothers(noise, sigma, gamma, 1.0, s)
+    cls = pt.RandomPhongShader if shade == "phong" else pt.RandomSimpleShader
+    renderer = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                            raster_settings=settings),
+        shader=cls.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.1, 0.2)),
+            smoothrast=sr, smoothagg=sa))
+    return mesh, cameras, lights, renderer
+
+
+def _render(renderer, mesh, cameras, lights, key, fused):
+    os.environ["PERTRENDERER_FUSED"] = "interpret" if fused else "off"
+    try:
+        return np.asarray(renderer(mesh, key=key, cameras=cameras,
+                                   lights=lights))
+    finally:
+        os.environ["PERTRENDERER_FUSED"] = "interpret"
+
+
+@pytest.mark.parametrize("noise", ["softras", "hard", "uniform"])
+def test_deterministic_forward_parity(noise):
+    mesh, cameras, lights, renderer = _build(noise)
+    a = _render(renderer, mesh, cameras, lights, KEY, True)
+    b = _render(renderer, mesh, cameras, lights, KEY, False)
+    assert (b[..., 3] > 0.5).sum() > 20          # scene actually visible
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(shade="simple"),
+    dict(textures="vertex"),
+    dict(lights_kind="directional"),
+    dict(perspective_correct=True),
+    dict(cull=True),
+    dict(n_views=2),
+    dict(imsize=12),                  # p_tile padding path (144 px)
+])
+def test_variant_forward_parity(kw):
+    mesh, cameras, lights, renderer = _build("softras", **kw)
+    a = _render(renderer, mesh, cameras, lights, KEY, True)
+    b = _render(renderer, mesh, cameras, lights, KEY, False)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_deterministic_gradient_parity():
+    """Full-chain gradients through the fused kernel == XLA path, for every
+    leaf the experiments differentiate: pose, sigma/gamma/alpha, light
+    location and camera pose scalars."""
+    mesh, cameras, lights, renderer = _build("softras")
+
+    def loss(log_rot, sigma, gamma, alpha, light_loc, elev, fused):
+        os.environ["PERTRENDERER_FUSED"] = "interpret" if fused else "off"
+        r, t = pt.look_at_view_transform(dist=6.7, elev=elev, azim=120.0)
+        cam = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+        rr = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sigma, gamma=gamma, alpha=alpha))
+        lg = pt.PointLights.create(location=light_loc)
+        rot = so3_exp_map(log_rot)
+        pred = mesh.update_padded(Rotate(rot).transform_points(
+            mesh.verts_padded()))
+        img = rr(pred, key=KEY, cameras=cam, lights=lg)
+        tgt = jnp.linspace(0, 1, img.size).reshape(img.shape)
+        return jnp.mean((img - tgt) ** 2)      # includes the alpha channel
+
+    args = (jnp.array([[0.1, -0.2, 0.3]]), jnp.asarray(1e-2),
+            jnp.asarray(5e-1), jnp.asarray(1.0),
+            jnp.array([[0.0, 2.0, -2.0]]), jnp.asarray(30.0))
+    gf = jax.grad(loss, argnums=tuple(range(6)))(*args, True)
+    gx = jax.grad(loss, argnums=tuple(range(6)))(*args, False)
+    names = ["log_rot", "sigma", "gamma", "alpha", "light", "elev"]
+    for n, a, b in zip(names, gf, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-10)
+        assert np.abs(a - b).max() / scale < 1e-3, (n, a, b)
+
+
+def test_texture_gradient_parity():
+    mesh, cameras, lights, renderer = _build("softras", textures="vertex")
+
+    def loss(feats, fused):
+        os.environ["PERTRENDERER_FUSED"] = "interpret" if fused else "off"
+        m = mesh.with_textures(pt.TexturesVertex(feats))
+        img = renderer(m, key=KEY, cameras=cameras, lights=lights)
+        return jnp.mean(img[..., :3] ** 2)
+
+    feats = jnp.linspace(0.1, 1.0, mesh.max_verts * 3).reshape(
+        1, mesh.max_verts, 3)
+    a = np.asarray(jax.grad(loss)(feats, True))
+    b = np.asarray(jax.grad(loss)(feats, False))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6 * max(
+        1.0, np.abs(b).max()))
+
+
+def test_fused_estimator_stats():
+    """The in-kernel MC replay functions are unbiased: perturbed-Heaviside
+    forward/backward match the Gaussian closed forms, and the perturbed-
+    argmax gradients (incl. the channel-count-compensated gamma term) match
+    the XLA custom-VJP estimator in expectation."""
+    from scipy.stats import norm
+
+    cfg = fr.FusedConfig(
+        image_size=16, f_pad=8, k=12, p_tile=256, blur_radius=0.0,
+        rast_kind="mc", rast_noise="gaussian", rast_vr=True, s_rast=64,
+        agg_kind="mc", agg_noise="gaussian", agg_vr=True, s_agg=64,
+        eps_bg=1e-10, shade="phong", light_kind="point", tex_mode="corner",
+        tex_d=9, atlas_r=0, clip_bary=False, perspective_correct=False,
+        interpret=True)
+    p = 256
+    pos = jnp.arange(p, dtype=jnp.int32).reshape(1, p)
+    d = jnp.linspace(-0.03, 0.03, 8 * p).reshape(8, p)
+    sigma = 0.01
+    nk = 24
+    fwd = sum(fr._mc_rast_forward(cfg, d, sigma, jnp.int32(100 + i),
+                                  jnp.int32(7), pos) for i in range(nk)) / nk
+    np.testing.assert_allclose(np.asarray(fwd),
+                               norm.cdf(np.asarray(d) / sigma), atol=0.05)
+    coeff = sum(fr._mc_rast_coeff(cfg, d, sigma, jnp.int32(100 + i),
+                                  jnp.int32(7), pos) for i in range(nk)) / nk
+    ref = norm.pdf(np.asarray(d) / sigma) / sigma
+    assert np.abs(np.asarray(coeff) - ref).max() / ref.max() < 0.15
+
+    # argmax gamma-gradient vs the XLA estimator (channel compensation)
+    from pertrenderer_tpu.ops.perturbed import perturbed_argmax
+    c = cfg.c_zpad
+    z = jnp.concatenate([jnp.linspace(-1, 1, 9 * p).reshape(9, p),
+                         jnp.full((c - 9, p), -jnp.inf)], 0)
+    g = jnp.concatenate([jnp.linspace(0.5, 1.5, 9 * p).reshape(9, p),
+                         jnp.zeros((c - 9, p))], 0)
+    zx = jnp.moveaxis(jnp.concatenate(
+        [z[:9], jnp.full((cfg.k + 1 - 9, p), -jnp.inf)], 0), 0, -1)
+    gx_ = jnp.moveaxis(jnp.concatenate(
+        [g[:9], jnp.zeros((cfg.k + 1 - 9, p))], 0), 0, -1)
+    nk = 16
+    acc_f = acc_x = 0.0
+    for i in range(nk):
+        _, gg = fr._mc_agg_grads(cfg, z, g, 0.3, jnp.int32(10 + i),
+                                 jnp.int32(3), pos)
+        acc_f += float(jnp.sum(gg)) / nk
+
+        def f(gam):
+            w = perturbed_argmax(zx, gam, jax.random.PRNGKey(i), 64,
+                                 "gaussian", True)
+            return jnp.sum(w * gx_)
+        acc_x += float(jax.grad(f)(jnp.asarray(0.3))) / nk
+    assert abs(acc_f - acc_x) / abs(acc_x) < 0.05, (acc_f, acc_x)
+
+
+def test_eligibility_fallbacks():
+    """Configurations outside the fused envelope return None (XLA path)."""
+    mesh, cameras, lights, renderer = _build("softras")
+    sh = renderer.shader
+    settings = renderer.rasterizer.raster_settings
+    mats = pt.Materials.create()
+
+    plan = fr._plan(mesh, cameras, lights, mats, sh.smoothrast, sh.smoothagg,
+                    settings, "phong")
+    assert plan is not None
+
+    # top-K truncation active (F > faces_per_pixel): not fused-exact
+    import dataclasses
+    small_k = dataclasses.replace(settings, faces_per_pixel=4)
+    assert fr._plan(mesh, cameras, lights, mats, sh.smoothrast, sh.smoothagg,
+                    small_k, "phong") is None
+
+    # UV texture without the baked-atlas fast path
+    tex = mesh.textures
+    mesh_uv = mesh.with_textures(dataclasses.replace(tex, atlas_size=0))
+    assert fr._plan(mesh_uv, cameras, lights, mats, sh.smoothrast,
+                    sh.smoothagg, settings, "phong") is None
+
+    # sharded MC-sample axis (pmean inside the estimator) stays on XLA
+    sr = pt.GaussianRast.create(sigma=1e-2, nb_samples=4, sample_axis="s")
+    assert fr._plan(mesh, cameras, lights, mats, sr, sh.smoothagg, settings,
+                    "phong") is None
+
+    # textureless meshes raise in the XLA path too
+    assert fr._plan(mesh.replace(textures=None), cameras, lights, mats,
+                    sh.smoothrast, sh.smoothagg, settings, "phong") is None
+
+
+def test_gaussian_forward_expectation():
+    """Stochastic menu: fused and XLA forwards agree in expectation."""
+    mesh, cameras, lights, renderer = _build("gaussian", imsize=12, k=16,
+                                             s=16)
+    nk = 4
+    acc_f = acc_x = 0.0
+    for i in range(nk):
+        kk = jax.random.PRNGKey(100 + i)
+        acc_f = acc_f + _render(renderer, mesh, cameras, lights, kk, True)
+        acc_x = acc_x + _render(renderer, mesh, cameras, lights, kk, False)
+    diff = np.abs(acc_f / nk - acc_x / nk)
+    # 64 samples/pixel of (bounded) one-hot weights: ~4 sigma tolerance
+    assert diff.max() < 0.25, diff.max()
+    assert diff.mean() < 0.02

@@ -372,9 +372,11 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     seg_times: List[float] = []
     images: List[np.ndarray] = []
 
-    # Segment layout: annealing can first fire after iter 100 and then every
-    # 50 iters (`eval.py:382,389`), so segments end at 150, 200, ...
-    boundaries = [min(Niter, 150)]
+    # Segment layout: uniform segment_size chunks.  Annealing fires only at
+    # boundaries past iter 100 (`eval.py:382,389` — first possible anneal is
+    # iter 150 with the default segment_size=50), and uniform lengths mean a
+    # run compiles exactly one scan program per (length, S-tier) pair.
+    boundaries = [min(Niter, segment_size)]
     while boundaries[-1] < Niter:
         boundaries.append(min(Niter, boundaries[-1] + segment_size))
 
@@ -617,7 +619,9 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
     best_params = params
     losses: List[np.ndarray] = []
 
-    boundaries = [min(Niter, 250)]
+    # Uniform segments (annealing only fires at boundaries past iter 200,
+    # `eval.py:483` — same schedule, one compiled program per length/S-tier).
+    boundaries = [min(Niter, segment_size)]
     while boundaries[-1] < Niter:
         boundaries.append(min(Niter, boundaries[-1] + segment_size))
 

@@ -146,19 +146,31 @@ def _uniform01(h):
     return (m.astype(jnp.float32) + 0.5) * (2.0 ** -23)
 
 
-def _draw(noise_type: str, seed0, seed1, s, rows, pos):
-    """One standard noise draw, a pure function of (seed, sample index s,
-    channel row, absolute pixel position).  Position-keyed streams make the
-    backward replay exact regardless of tiling."""
+def _hash_words(seed0, seed1, s, rows, pos):
+    """Mixed counter for (seed, sample index s, channel row, absolute pixel
+    position).  Position-keyed streams make the backward replay exact
+    regardless of tiling."""
     base = pos + rows * jnp.int32(1 << 22)          # pos < 2^22 (<= 2048^2)
     x = _mix(base)
     x = _mix(jnp.bitwise_xor(x, seed0 + s * jnp.int32(-1640531527)))
-    x = jnp.bitwise_xor(x, seed1)
+    return jnp.bitwise_xor(x, seed1)
+
+
+def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos):
+    """(c, p) block of iid standard noise (c must be even — always true for
+    the sublane-padded channel counts).  Gaussian uses both Box-Muller
+    outputs (cos and sin halves), halving the uniform-draw cost."""
     if noise_type == "gaussian":
+        ch = c // 2
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0)
+        x = _hash_words(seed0, seed1, s, rows, pos)
         u1 = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
         u2 = _uniform01(_mix(x + jnp.int32(-1150833019)))
         r = jnp.sqrt(-2.0 * jnp.log(u1))
-        return r * jnp.cos((2.0 * np.pi) * u2)
+        th = (2.0 * np.pi) * u2
+        return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+    x = _hash_words(seed0, seed1, s, rows, pos)
     u = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
     if noise_type == "cauchy":
         return jnp.clip(jnp.tan(np.pi * (u - 0.5)), -_CAUCHY_CLAMP,
@@ -361,10 +373,10 @@ def _make_det3(cfg: FusedConfig):
 # --- MC estimator sample loops (hash-PRNG; replayed in backward) -----------
 
 def _mc_rast_forward(cfg, d, sigma, s0, s1, pos):
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    c, p = d.shape
 
     def body(s, acc):
-        z = _draw(cfg.rast_noise, s0, s1, s, rows, pos)
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
         return acc + _heaviside(d + sigma * z)
 
     acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
@@ -375,16 +387,33 @@ def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos):
     """Variance-reduced score coefficient: grad wrt d is coeff * g and the
     sigma grad is sum(coeff * g) (the reference's sigma-grad overwrite quirk,
     `/root/reference/randomras/smoothrast.py:55-58`)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    c, p = d.shape
     h0 = _heaviside(d) if cfg.rast_vr else jnp.zeros_like(d)
 
     def body(s, acc):
-        z = _draw(cfg.rast_noise, s0, s1, s, rows, pos)
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
         h = _heaviside(d + sigma * z)
         return acc + (h - h0) * _score(z, cfg.rast_noise)
 
     acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
     return acc / (cfg.s_rast * sigma)
+
+
+def _mc_rast_fwd_coeff(cfg, d, sigma, s0, s1, pos):
+    """Fused forward mean + score coefficient (one noise pass for backward).
+    Identical streams to _mc_rast_forward/_mc_rast_coeff."""
+    c, p = d.shape
+    h0 = _heaviside(d) if cfg.rast_vr else jnp.zeros_like(d)
+
+    def body(s, carry):
+        acc_p, acc_c = carry
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
+        h = _heaviside(d + sigma * z)
+        return acc_p + h, acc_c + (h - h0) * _score(z, cfg.rast_noise)
+
+    acc_p, acc_c = jax.lax.fori_loop(
+        0, cfg.s_rast, body, (jnp.zeros_like(d), jnp.zeros_like(d)))
+    return acc_p * (1.0 / cfg.s_rast), acc_c / (cfg.s_rast * sigma)
 
 
 def _onehot_ge(z):
@@ -393,25 +422,17 @@ def _onehot_ge(z):
 
 
 def _mc_agg_forward(cfg, zmap_full, gamma, s0, s1, pos):
-    rows = jax.lax.broadcasted_iota(jnp.int32, zmap_full.shape, 0)
+    c, p = zmap_full.shape
 
     def body(s, acc):
-        n = _draw(cfg.agg_noise, s0, s1, s, rows, pos)
+        n = _draw_block(cfg.agg_noise, s0, s1, s, c, p, pos)
         return acc + _onehot_ge(zmap_full + gamma * n)
 
     acc = jax.lax.fori_loop(0, cfg.s_agg, body, jnp.zeros_like(zmap_full))
     return acc * (1.0 / cfg.s_agg)
 
 
-def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
-    """Perturbed-argmax backward (`/root/reference/randomras/smoothagg.py:44-73`)
-    replayed from the seed.  Returns (g_zmap, gamma_term (1, P)).
-
-    phi uses the deterministic channel-count compensation (see module
-    docstring): real rows contribute their drawn Z^2, the K-F_pad empty
-    XLA-path channels contribute their expectation 1 each.
-    """
-    shape = zmap_full.shape
+def _agg_masks(cfg, shape):
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cmask = (rows <= cfg.f_pad).astype(jnp.float32)      # slots + background
     if cfg.f_pad <= cfg.k:
@@ -420,11 +441,29 @@ def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
     else:
         phimask = ((rows < cfg.k) | (rows == cfg.f_pad)).astype(jnp.float32)
         phi_comp = 0.0
+    return cmask, phimask, phi_comp
+
+
+def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
+    """Perturbed-argmax forward AND backward in one replay loop
+    (`/root/reference/randomras/smoothagg.py:13-73`): returns
+    (weights, g_zmap, gamma_term (1, P)).
+
+    ``g_w`` is linear in the blend colors so the caller can build it before
+    the weights exist.  phi uses the deterministic channel-count
+    compensation (see module docstring): real rows contribute their drawn
+    Z^2, the K-F_pad empty XLA-path channels their expectation 1 each.
+    The masked noise leaves the one-hot unchanged (masked rows are -inf in
+    z_map), so the accumulated weights equal _mc_agg_forward's exactly.
+    """
+    shape = zmap_full.shape
+    cmask, phimask, phi_comp = _agg_masks(cfg, shape)
     w0 = _onehot_ge(zmap_full) if cfg.agg_vr else jnp.zeros_like(zmap_full)
 
     def body(s, carry):
-        acc_z, acc_g = carry
-        n = _draw(cfg.agg_noise, s0, s1, s, rows, pos) * cmask
+        acc_w, acc_z, acc_g = carry
+        n = _draw_block(cfg.agg_noise, s0, s1, s, shape[0], shape[1],
+                        pos) * cmask
         w = _onehot_ge(zmap_full + gamma * n)
         diff = (w - w0) * cmask
         dot = jnp.sum(g_w * diff, axis=0, keepdims=True)
@@ -435,13 +474,21 @@ def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
             phi = (jnp.sum(_score(n, cfg.agg_noise) * n * phimask, axis=0,
                            keepdims=True) + phi_comp)
         acc_g = acc_g + dot * (phi - 1.0)
-        return acc_z, acc_g
+        return acc_w + w, acc_z, acc_g
 
-    acc_z, acc_g = jax.lax.fori_loop(
+    acc_w, acc_z, acc_g = jax.lax.fori_loop(
         0, cfg.s_agg, body,
-        (jnp.zeros(shape, jnp.float32),
+        (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
          jnp.zeros((1, shape[1]), jnp.float32)))
-    return acc_z / (cfg.s_agg * gamma), acc_g / (cfg.s_agg * gamma)
+    return (acc_w * (1.0 / cfg.s_agg), acc_z / (cfg.s_agg * gamma),
+            acc_g / (cfg.s_agg * gamma))
+
+
+def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
+    """Backward-only replay (kept for the estimator statistics tests)."""
+    _, g_zmap, gterm = _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1,
+                                         pos)
+    return g_zmap, gterm
 
 
 # ---------------------------------------------------------------------------
@@ -460,104 +507,147 @@ def _tile_setup(cfg, tile_ref, valid_ref, fv_ndc_ref):
     return pos, px, py, pixvalid, validb
 
 
-def _forward_kernel(tile_ref, seeds_ref, fv_ndc_ref, fv_world_ref, fn_ref,
-                    tex_ref, valid_ref, scal_ref, out_ref, *, cfg):
+def _bg_image(cfg, scal):
+    """What the pipeline produces on a tile with zero candidate coverage:
+    background color, alpha 0 (background weight is exactly 1 — slots are
+    prob 0 / z_map -inf no-ops)."""
+    p = cfg.p_tile
+    rows = [jnp.full((1, p), scal[0, _S_BG + c]) for c in range(3)]
+    return jnp.concatenate(rows + [jnp.zeros((1, p), jnp.float32)], axis=0)
+
+
+def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
+                    fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
+                    out_ref, *, cfg):
     pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
-    det1 = _make_det1(cfg, px, py, pixvalid, validb)
-    dist, z, c0, c1, c2, maskf = det1(
-        fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
 
-    if cfg.rast_kind == "mc":
-        prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
-                                    seeds_ref[0, 0], seeds_ref[0, 1], pos)
-    else:
-        prob_raw = _make_det_rast(cfg)(dist, scal)
-    prob = prob_raw * maskf
+    def full_pipeline(_):
+        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+        dist, z, c0, c1, c2, maskf = det1(
+            fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
 
-    zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
-    if cfg.agg_kind == "soft":
-        weights = _det2b_soft(zmap_full, scal)
-    elif cfg.agg_kind == "hard":
-        weights = _hard_onehot_rows(zmap_full)
-    else:
-        weights = _mc_agg_forward(cfg, zmap_full, scal[0, _S_GAMMA],
-                                  seeds_ref[0, 2], seeds_ref[0, 3], pos)
-    out_ref[:] = _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
+        if cfg.rast_kind == "mc":
+            prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
+                                        seeds_ref[0, 0], seeds_ref[0, 1],
+                                        pos)
+        else:
+            prob_raw = _make_det_rast(cfg)(dist, scal)
+        prob = prob_raw * maskf
+
+        zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
+        if cfg.agg_kind == "soft":
+            weights = _det2b_soft(zmap_full, scal)
+        elif cfg.agg_kind == "hard":
+            weights = _hard_onehot_rows(zmap_full)
+        else:
+            weights = _mc_agg_forward(cfg, zmap_full, scal[0, _S_GAMMA],
+                                      seeds_ref[0, 2], seeds_ref[0, 3], pos)
+        return _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
+
+    out_ref[:] = jax.lax.cond(active_ref[0, 0, 0] > 0, full_pipeline,
+                              lambda _: _bg_image(cfg, scal), None)
 
 
-def _backward_kernel(tile_ref, seeds_ref, fv_ndc_ref, fv_world_ref, fn_ref,
-                     tex_ref, valid_ref, scal_ref, g_out_ref,
-                     g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref,
-                     *, cfg):
+def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
+                     fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
+                     g_out_ref, g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref,
+                     g_scal_ref, *, cfg):
     pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
     g_rgba = g_out_ref[:]
 
-    det1 = _make_det1(cfg, px, py, pixvalid, validb)
-    (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
-        det1, fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
+    def full_pipeline(_):
+        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+        (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
+            det1, fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+            scal)
 
-    sigma = scal[0, _S_SIGMA]
-    gamma = scal[0, _S_GAMMA]
-    if cfg.rast_kind == "mc":
-        prob_raw = _mc_rast_forward(cfg, -dist, sigma, seeds_ref[0, 0],
-                                    seeds_ref[0, 1], pos)
-        vjp_rast = None
-    else:
-        prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
-    prob = prob_raw * maskf
+        sigma = scal[0, _S_SIGMA]
+        gamma = scal[0, _S_GAMMA]
+        # Coverage forward + score coefficient share one replay loop.
+        if cfg.rast_kind == "mc":
+            prob_raw, coeff = _mc_rast_fwd_coeff(
+                cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
+            vjp_rast = None
+        else:
+            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+        prob = prob_raw * maskf
 
-    (zmap_full), vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
-    if cfg.agg_kind == "soft":
-        weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
-    elif cfg.agg_kind == "hard":
-        weights, vjp2b = _hard_onehot_rows(zmap_full), None
-    else:
-        weights = _mc_agg_forward(cfg, zmap_full, gamma, seeds_ref[0, 2],
-                                  seeds_ref[0, 3], pos)
-        vjp2b = None
+        zmap_full, vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
 
-    _, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2, scal)
-    g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
+        # Aggregation: weights + backward.  The blend is linear in the
+        # weights, so the weight cotangent is available before the weights:
+        # g_w[slot] = sum_c colors_c * g_rgb_c, g_w[bg] = sum_c bg_c * g_rgb_c
+        # — letting the MC path fuse its forward and backward into one loop.
+        g_rgb = [g_rgba[c:c + 1] for c in range(3)]
+        g_scal_extra = jnp.zeros((1, _NS), jnp.float32)
+        if cfg.agg_kind == "soft":
+            weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
+        elif cfg.agg_kind == "hard":
+            weights, vjp2b = _hard_onehot_rows(zmap_full), None
+        else:
+            g_w_slots = c0 * g_rgb[0] + c1 * g_rgb[1] + c2 * g_rgb[2]
+            g_w_bg = (scal[0, _S_BG] * g_rgb[0]
+                      + scal[0, _S_BG + 1] * g_rgb[1]
+                      + scal[0, _S_BG + 2] * g_rgb[2])
+            g_w = jnp.concatenate(
+                [g_w_slots, g_w_bg,
+                 jnp.zeros((cfg.c_zpad - cfg.f_pad - 1, cfg.p_tile),
+                           jnp.float32)], axis=0)
+            weights, g_zmap, gamma_term = _mc_agg_fwd_grads(
+                cfg, zmap_full, g_w, gamma, seeds_ref[0, 2],
+                seeds_ref[0, 3], pos)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+            g_scal_extra = g_scal_extra + jnp.where(
+                cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
 
-    # Aggregation backward -> g_zmap (+ gamma score term).
-    g_scal_extra = jnp.zeros_like(g_scal3)
-    if cfg.agg_kind == "soft":
-        g_zmap, g_scal2b = vjp2b(g_weights)
-        g_scal_extra = g_scal_extra + g_scal2b
-    elif cfg.agg_kind == "hard":
-        g_zmap = jnp.zeros_like(zmap_full)
-    else:
-        g_zmap, gamma_term = _mc_agg_grads(
-            cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
-            seeds_ref[0, 3], pos)
-        cols = jax.lax.broadcasted_iota(jnp.int32, g_scal3.shape, 1)
-        g_scal_extra = g_scal_extra + jnp.where(
-            cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
+        _, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2, scal)
+        g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
 
-    g_prob2, g_z, g_scal2 = vjp2(g_zmap)
-    g_prob = g_prob2 + g_prob3
-    g_prob_raw = g_prob * maskf
+        if cfg.agg_kind == "soft":
+            g_zmap, g_scal2b = vjp2b(g_weights)
+            g_scal_extra = g_scal_extra + g_scal2b
+        elif cfg.agg_kind == "hard":
+            g_zmap = jnp.zeros_like(zmap_full)
 
-    # Coverage backward -> g_dist (+ sigma grad).
-    if cfg.rast_kind == "mc":
-        coeff = _mc_rast_coeff(cfg, -dist, sigma, seeds_ref[0, 0],
-                               seeds_ref[0, 1], pos)
-        g_d = coeff * g_prob_raw
-        g_dist = -g_d
-        cols = jax.lax.broadcasted_iota(jnp.int32, g_scal3.shape, 1)
-        g_scal_extra = g_scal_extra + jnp.where(
-            cols == _S_SIGMA, jnp.sum(g_d), 0.0)
-    else:
-        g_dist, g_scal_r = vjp_rast(g_prob_raw)
-        g_scal_extra = g_scal_extra + g_scal_r
+        g_prob2, g_z, g_scal2 = vjp2(g_zmap)
+        g_prob = g_prob2 + g_prob3
+        g_prob_raw = g_prob * maskf
 
-    g_ndc, g_world, g_fn, g_tex, g_scal1 = vjp1(
-        (g_dist, g_z, g_c0, g_c1, g_c2, jnp.zeros_like(maskf)))
-    g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
+        # Coverage backward -> g_dist (+ sigma grad, the reference's
+        # sum-of-distance-grads quirk).
+        if cfg.rast_kind == "mc":
+            g_d = coeff * g_prob_raw
+            g_dist = -g_d
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+            g_scal_extra = g_scal_extra + jnp.where(
+                cols == _S_SIGMA, jnp.sum(g_d), 0.0)
+        else:
+            g_dist, g_scal_r = vjp_rast(g_prob_raw)
+            g_scal_extra = g_scal_extra + g_scal_r
+
+        g_ndc, g_world, g_fn, g_tex, g_scal1 = vjp1(
+            (g_dist, g_z, g_c0, g_c1, g_c2, jnp.zeros_like(maskf)))
+        g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
+        return g_ndc, g_world, g_fn, g_tex, g_scal
+
+    def bg_only(_):
+        # Zero-coverage tile: the only surviving gradient is the background
+        # color (weights are exactly the background one-hot).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+        g_scal = jnp.zeros((1, _NS), jnp.float32)
+        for c in range(3):
+            g_scal = g_scal + jnp.where(cols == _S_BG + c,
+                                        jnp.sum(g_rgba[c]), 0.0)
+        zf9 = jnp.zeros((cfg.f_pad, 9), jnp.float32)
+        return (zf9, zf9, zf9,
+                jnp.zeros((cfg.f_pad, cfg.tex_d), jnp.float32), g_scal)
+
+    g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+        active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
 
     first = tile_ref[0, 0, 0] == 0
 
@@ -593,6 +683,8 @@ def _common_specs(cfg: FusedConfig):
     return [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # tile ids
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # active-tile bits
         _const_spec((1, 8)),                            # seeds
         _const_spec((f, 9)),                            # fv_ndc
         _const_spec((f, 9)),                            # fv_world
@@ -612,7 +704,34 @@ def _tile_ids(cfg: FusedConfig):
     return jnp.arange(_n_tiles(cfg), dtype=jnp.int32).reshape(-1, 1, 1)
 
 
-def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
+    """Per-tile activity bits from face y-bboxes (expanded by the blur
+    band) vs each tile's pixel-row span — conservative, so inactive tiles
+    provably have zero candidate coverage and the kernels take the
+    background fast path.  (n_tiles, 1, 1) int32."""
+    h = w = cfg.image_size
+    p, nt = cfg.p_tile, _n_tiles(cfg)
+    fv_ndc = jax.lax.stop_gradient(fv_ndc)
+    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
+    ys = fv_ndc[:, 1::3]                                  # (F_pad, 3)
+    zs = fv_ndc[:, 2::3]
+    validb = (valid[:, 0] > 0.5) & (jnp.max(zs, axis=1) > 0)
+    fy_min = jnp.min(ys, axis=1) - band                  # (F_pad,)
+    fy_max = jnp.max(ys, axis=1) + band
+
+    starts = np.arange(nt) * p
+    ends = np.minimum(starts + p, h * w) - 1
+    r0, r1 = starts // w, ends // w
+    y_hi = jnp.asarray((h - 1.0 - 2.0 * r0) / h, jnp.float32)  # (nt,)
+    y_lo = jnp.asarray((h - 1.0 - 2.0 * r1) / h, jnp.float32)
+    overlap = ((fy_min[None, :] <= y_hi[:, None])
+               & (fy_max[None, :] >= y_lo[:, None])
+               & validb[None, :])
+    return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(nt, 1, 1)
+
+
+def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+                    active):
     nt = _n_tiles(cfg)
     out = pl.pallas_call(
         partial(_forward_kernel, cfg=cfg),
@@ -622,12 +741,12 @@ def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), seeds, fv_ndc, fv_world, fn, tex, valid, scal)
+    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal)
     return out
 
 
 def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
-                     g_out):
+                     active, g_out):
     nt = _n_tiles(cfg)
     f, dt = cfg.f_pad, cfg.tex_d
     acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
@@ -649,25 +768,28 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), seeds, fv_ndc, fv_world, fn, tex, valid, scal, g_out)
+    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal,
+      g_out)
     return grads
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_core(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+    active = _active_tiles(cfg, fv_ndc, valid)
     return _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal,
-                           seeds)
+                           seeds, active)
 
 
 def _fused_core_fwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
-    out = _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds)
+    out = _fused_core(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds)
     return out, (fv_ndc, fv_world, fn, tex, valid, scal, seeds)
 
 
 def _fused_core_bwd(cfg, res, g):
     fv_ndc, fv_world, fn, tex, valid, scal, seeds = res
+    active = _active_tiles(cfg, fv_ndc, valid)
     g_ndc, g_world, g_fn, g_tex, g_scal = _pallas_backward(
-        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, g)
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, g)
     g_seeds = np.zeros(seeds.shape, jax.dtypes.float0)
     return (g_ndc, g_world, g_fn, g_tex, jnp.zeros_like(valid), g_scal,
             g_seeds)

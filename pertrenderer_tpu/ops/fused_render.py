@@ -68,6 +68,12 @@ from pertrenderer_tpu.ops.rasterize import _face_pixel_geometry
 __all__ = ["FusedConfig", "fused_available", "try_render", "MAX_SLOTS"]
 
 MAX_SLOTS = 256          # flat-mode face budget (F_pad <= MAX_SLOTS)
+MAX_BIN_SLOTS = 176      # binned-mode per-tile face budget (VMEM-bound:
+                         # the backward's vjp residuals measure ~85 KB per
+                         # slot-row at p_tile=128 against the 16 MB limit;
+                         # M=192 sits exactly on the edge and flips OOM)
+_BIN_P_TILE = 128        # binned tile width (min lane width on TPU; tests
+                         # shrink it in interpreter mode for small images)
 _CAUCHY_CLAMP = 1e7
 
 # --- packed scalar-parameter layout (one (1, NS) f32 vector) ---------------
@@ -119,6 +125,7 @@ class FusedConfig:
     clip_bary: bool
     perspective_correct: bool
     interpret: bool
+    binned: bool = False       # slots are bin-local face lists, not all faces
 
     @property
     def c_zpad(self) -> int:
@@ -495,14 +502,19 @@ def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
 # Kernels
 # ---------------------------------------------------------------------------
 
+def _rd(cfg):
+    """Table reader: binned tables are blocked per tile with a leading 1."""
+    return (lambda r: r[0]) if cfg.binned else (lambda r: r[:])
+
+
 def _tile_setup(cfg, tile_ref, valid_ref, fv_ndc_ref):
     tile = tile_ref[0, 0, 0]
+    rd = _rd(cfg)
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
-    validb = valid_ref[:] > 0.5                          # (F_pad, 1)
+    validb = rd(valid_ref) > 0.5                         # (F_pad, 1)
     # Face-level behind-camera cull (ops/rasterize.py:_face_validity).
-    zmaxf = jnp.maximum(jnp.maximum(_col(fv_ndc_ref[:], 2),
-                                    _col(fv_ndc_ref[:], 5)),
-                        _col(fv_ndc_ref[:], 8))
+    fv = rd(fv_ndc_ref)
+    zmaxf = jnp.maximum(jnp.maximum(_col(fv, 2), _col(fv, 5)), _col(fv, 8))
     validb = validb & (zmaxf > 0)
     return pos, px, py, pixvalid, validb
 
@@ -523,10 +535,12 @@ def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
 
+    rd = _rd(cfg)
+
     def full_pipeline(_):
         det1 = _make_det1(cfg, px, py, pixvalid, validb)
         dist, z, c0, c1, c2, maskf = det1(
-            fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
+            rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref), scal)
 
         if cfg.rast_kind == "mc":
             prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
@@ -559,10 +573,12 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
     scal = scal_ref[:]
     g_rgba = g_out_ref[:]
 
+    rd = _rd(cfg)
+
     def full_pipeline(_):
         det1 = _make_det1(cfg, px, py, pixvalid, validb)
         (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
-            det1, fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+            det1, rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref),
             scal)
 
         sigma = scal[0, _S_SIGMA]
@@ -651,21 +667,38 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
 
     first = tile_ref[0, 0, 0] == 0
 
-    @pl.when(first)
-    def _init():
-        g_ndc_ref[:] = g_ndc
-        g_world_ref[:] = g_world
-        g_fn_ref[:] = g_fn
-        g_tex_ref[:] = g_tex
-        g_scal_ref[:] = g_scal
+    if cfg.binned:
+        # Bin-local table gradients: each tile owns its output block; the
+        # scatter back to faces happens through take_rows' transposed-matmul
+        # VJP in the XLA wrapper.
+        g_ndc_ref[0] = g_ndc
+        g_world_ref[0] = g_world
+        g_fn_ref[0] = g_fn
+        g_tex_ref[0] = g_tex
 
-    @pl.when(jnp.logical_not(first))
-    def _accum():
-        g_ndc_ref[:] = g_ndc_ref[:] + g_ndc
-        g_world_ref[:] = g_world_ref[:] + g_world
-        g_fn_ref[:] = g_fn_ref[:] + g_fn
-        g_tex_ref[:] = g_tex_ref[:] + g_tex
-        g_scal_ref[:] = g_scal_ref[:] + g_scal
+        @pl.when(first)
+        def _init():
+            g_scal_ref[:] = g_scal
+
+        @pl.when(jnp.logical_not(first))
+        def _accum():
+            g_scal_ref[:] = g_scal_ref[:] + g_scal
+    else:
+        @pl.when(first)
+        def _init():
+            g_ndc_ref[:] = g_ndc
+            g_world_ref[:] = g_world
+            g_fn_ref[:] = g_fn
+            g_tex_ref[:] = g_tex
+            g_scal_ref[:] = g_scal
+
+        @pl.when(jnp.logical_not(first))
+        def _accum():
+            g_ndc_ref[:] = g_ndc_ref[:] + g_ndc
+            g_world_ref[:] = g_world_ref[:] + g_world
+            g_fn_ref[:] = g_fn_ref[:] + g_fn
+            g_tex_ref[:] = g_tex_ref[:] + g_tex
+            g_scal_ref[:] = g_scal_ref[:] + g_scal
 
 
 # ---------------------------------------------------------------------------
@@ -680,17 +713,21 @@ def _const_spec(shape):
 
 def _common_specs(cfg: FusedConfig):
     f, dt = cfg.f_pad, cfg.tex_d
+    per_tile = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, s=len(shape): (i,) + (0,) * s,
+        memory_space=pltpu.VMEM)
+    tbl = per_tile if cfg.binned else _const_spec
     return [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # tile ids
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # active-tile bits
         _const_spec((1, 8)),                            # seeds
-        _const_spec((f, 9)),                            # fv_ndc
-        _const_spec((f, 9)),                            # fv_world
-        _const_spec((f, 9)),                            # fn_world
-        _const_spec((f, dt)),                           # tex
-        _const_spec((f, 1)),                            # valid
+        tbl((f, 9)),                                    # fv_ndc
+        tbl((f, 9)),                                    # fv_world
+        tbl((f, 9)),                                    # fn_world
+        tbl((f, dt)),                                   # tex
+        tbl((f, 1)),                                    # valid
         _const_spec((1, _NS)),                          # scal
     ]
 
@@ -704,30 +741,84 @@ def _tile_ids(cfg: FusedConfig):
     return jnp.arange(_n_tiles(cfg), dtype=jnp.int32).reshape(-1, 1, 1)
 
 
-def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
-    """Per-tile activity bits from face y-bboxes (expanded by the blur
-    band) vs each tile's pixel-row span — conservative, so inactive tiles
-    provably have zero candidate coverage and the kernels take the
-    background fast path.  (n_tiles, 1, 1) int32."""
+def _tile_y_ranges(cfg: FusedConfig):
+    """Static NDC y span of each tile's pixel rows."""
     h = w = cfg.image_size
     p, nt = cfg.p_tile, _n_tiles(cfg)
-    fv_ndc = jax.lax.stop_gradient(fv_ndc)
-    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
-    ys = fv_ndc[:, 1::3]                                  # (F_pad, 3)
-    zs = fv_ndc[:, 2::3]
-    validb = (valid[:, 0] > 0.5) & (jnp.max(zs, axis=1) > 0)
-    fy_min = jnp.min(ys, axis=1) - band                  # (F_pad,)
-    fy_max = jnp.max(ys, axis=1) + band
-
     starts = np.arange(nt) * p
     ends = np.minimum(starts + p, h * w) - 1
     r0, r1 = starts // w, ends // w
     y_hi = jnp.asarray((h - 1.0 - 2.0 * r0) / h, jnp.float32)  # (nt,)
     y_lo = jnp.asarray((h - 1.0 - 2.0 * r1) / h, jnp.float32)
+    return y_hi, y_lo
+
+
+def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb):
+    """(n_tiles, F) conservative face/tile overlap from bboxes expanded by
+    the blur band.  Tiles spanning whole pixel rows test y only; sub-row
+    tiles (p_tile divides the image width — the high-resolution regime)
+    also test x, which is 2-D binning."""
+    h = w = cfg.image_size
+    p, nt = cfg.p_tile, _n_tiles(cfg)
+    fv_ndc = jax.lax.stop_gradient(fv_ndc)
+    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
+    ys = fv_ndc[:, 1::3]                                  # (F, 3)
+    fy_min = jnp.min(ys, axis=1) - band
+    fy_max = jnp.max(ys, axis=1) + band
+    y_hi, y_lo = _tile_y_ranges(cfg)
     overlap = ((fy_min[None, :] <= y_hi[:, None])
                & (fy_max[None, :] >= y_lo[:, None])
                & validb[None, :])
-    return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(nt, 1, 1)
+    if p < w and w % p == 0:
+        xs = fv_ndc[:, 0::3]
+        fx_min = jnp.min(xs, axis=1) - band
+        fx_max = jnp.max(xs, axis=1) + band
+        c0 = (np.arange(nt) * p) % w                      # first column
+        x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
+        x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + p - 1)) / w, jnp.float32)
+        overlap = overlap & ((fx_min[None, :] <= x_hi[:, None])
+                             & (fx_max[None, :] >= x_lo[:, None]))
+    return overlap
+
+
+def _face_validb(fv_ndc, valid_col):
+    zs = jax.lax.stop_gradient(fv_ndc)[:, 2::3]
+    return (valid_col > 0.5) & (jnp.max(zs, axis=1) > 0)
+
+
+def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
+    """Per-tile activity bits — conservative, so inactive tiles provably
+    have zero candidate coverage and the kernels take the background fast
+    path.  (n_tiles, 1, 1) int32."""
+    if cfg.binned:
+        # valid: (n_tiles, M, 1) bin-local slot validity.
+        return jnp.any(valid[:, :, 0] > 0.5, axis=1).astype(
+            jnp.int32).reshape(-1, 1, 1)
+    overlap = _tile_face_overlap(cfg, fv_ndc, _face_validb(fv_ndc,
+                                                           valid[:, 0]))
+    return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(-1, 1, 1)
+
+
+def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col):
+    """Bin-local face lists: the M *nearest* faces overlapping each tile
+    (by minimum corner depth), -1 padded — the `max_faces_per_bin` layout
+    of the reference's binned kernel
+    (`/root/reference/experiments/eval.py:139`).  When a tile overflows M,
+    the farthest faces are dropped — the same degradation direction as the
+    reference's keep-K-nearest fragment truncation (occluded fragments
+    carry exponentially small blend weight)."""
+    m = cfg.f_pad
+    fv_ndc = jax.lax.stop_gradient(fv_ndc)
+    overlap = _tile_face_overlap(cfg, fv_ndc,
+                                 _face_validb(fv_ndc, valid_col))
+    f = overlap.shape[1]
+    fz_min = jnp.min(fv_ndc[:, 2::3], axis=1)            # (F,)
+    score = jnp.where(overlap, -fz_min[None, :], -jnp.inf)
+    top, idx = jax.lax.top_k(score, min(m, f))
+    out = jnp.where(jnp.isfinite(top), idx.astype(jnp.int32), -1)
+    if m > f:
+        out = jnp.pad(out, ((0, 0), (0, m - f)), constant_values=-1)
+    return out                                            # (nt, M)
 
 
 def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
@@ -751,6 +842,15 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
     f, dt = cfg.f_pad, cfg.tex_d
     acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
                                      memory_space=pltpu.VMEM)
+    if cfg.binned:
+        tblspec = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda i, s=len(shape): (i,) + (0,) * s,
+            memory_space=pltpu.VMEM)
+        tblshape = lambda shape: jax.ShapeDtypeStruct((nt,) + shape,
+                                                      jnp.float32)
+    else:
+        tblspec = acc
+        tblshape = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     grads = pl.pallas_call(
         partial(_backward_kernel, cfg=cfg),
         grid=(nt,),
@@ -758,13 +858,11 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
             pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(acc((f, 9)), acc((f, 9)), acc((f, 9)), acc((f, dt)),
-                   acc((1, _NS))),
+        out_specs=(tblspec((f, 9)), tblspec((f, 9)), tblspec((f, 9)),
+                   tblspec((f, dt)), acc((1, _NS))),
         out_shape=(
-            jax.ShapeDtypeStruct((f, 9), jnp.float32),
-            jax.ShapeDtypeStruct((f, 9), jnp.float32),
-            jax.ShapeDtypeStruct((f, 9), jnp.float32),
-            jax.ShapeDtypeStruct((f, dt), jnp.float32),
+            tblshape((f, 9)), tblshape((f, 9)), tblshape((f, 9)),
+            tblshape((f, dt)),
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         interpret=cfg.interpret,
@@ -857,9 +955,37 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     f = int(meshes.max_faces)
     k = int(settings.faces_per_pixel)
     f_pad = _round_up(max(f, 8), 8)
-    # Exactness condition: every face can hold a slot (no top-K truncation).
+    binned = False
+    hw = settings.image_size * settings.image_size
+    p_tile = min(1024, _round_up(hw, 128))
+    # Flat mode is exact when every face can hold a slot (no top-K
+    # truncation).  Larger meshes switch to bin-local face lists: slots are
+    # the <= M faces overlapping each tile — the `max_faces_per_bin`
+    # regime of the reference's binned kernel.  Semantics match the staged
+    # path whenever no tile overflows M and no pixel is covered by more
+    # than faces_per_pixel fragments (the blend is an exact no-op on
+    # zero-coverage slots either way).
     if f > k or f_pad > MAX_SLOTS:
-        return None
+        m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
+                MAX_BIN_SLOTS)
+        if m < 8:
+            return None
+        binned = True
+        f_pad = _round_up(m, 8)
+        # Finest tile granularity: keeps the backward working set
+        # (~ slots x pixels) inside VMEM and maximizes x-binning + skip
+        # resolution.  (Semantics are p_tile-independent — the PRNG is
+        # keyed on absolute pixel position — so tests may shrink this.)
+        p_tile = _BIN_P_TILE
+        # Capacity gate: the M-slot budget is only guaranteed-ish in the
+        # sub-row regime where tiles are x-binned 2-D segments (measured: a
+        # 1280-face icosphere needs ~286 slots per full 128^2 row but ~70
+        # per half-row at 256^2).  Full-row or coarser tiles of large
+        # meshes overflow M and would silently drop far faces; the staged
+        # XLA path keeps exact semantics there.
+        if (p_tile >= settings.image_size
+                or settings.image_size % p_tile != 0):
+            return None
     if settings.image_size > 2048:
         return None
 
@@ -890,9 +1016,6 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     else:
         return None
 
-    hw = settings.image_size * settings.image_size
-    p_tile = min(1024, _round_up(hw, 128))
-
     rast_kind, rast_noise, rast_vr = rast_entry
     agg_kind, agg_noise, agg_vr = agg_entry
     return FusedConfig(
@@ -912,6 +1035,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         clip_bary=settings.resolve_clip(),
         perspective_correct=bool(settings.perspective_correct),
         interpret=_fused_mode() == "interpret",
+        binned=binned,
     )
 
 
@@ -989,23 +1113,34 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
         atlas = jnp.broadcast_to(atlas, (n,) + atlas.shape[1:])
         tex_tab = atlas.reshape(n, f, -1)
 
-    def pad_f(x):
-        return jnp.pad(x, ((0, 0), (0, cfg.f_pad - f), (0, 0)))
-    fv_ndc, fv_world, fn_world, tex_tab = (
-        pad_f(fv_ndc), pad_f(fv_world), pad_f(fn_world), pad_f(tex_tab))
-
-    face_ids = jnp.arange(cfg.f_pad, dtype=jnp.int32)
+    face_ids = jnp.arange(f, dtype=jnp.int32)
     validf = ((face_ids[None, :] < meshes.num_faces[:, None])
-              & jnp.all(jnp.pad(meshes.faces,
-                                ((0, 0), (0, cfg.f_pad - f), (0, 0)),
-                                constant_values=-1) >= 0, axis=-1))
+              & jnp.all(meshes.faces >= 0, axis=-1))
     if settings.cull_backfaces:
         area = ((fv_ndc[..., 3] - fv_ndc[..., 0])
                 * (fv_ndc[..., 7] - fv_ndc[..., 1])
                 - (fv_ndc[..., 4] - fv_ndc[..., 1])
                 * (fv_ndc[..., 6] - fv_ndc[..., 0]))
         validf = validf & (area > 0)
-    valid = validf.astype(jnp.float32)[..., None]        # (N, F_pad, 1)
+
+    if cfg.binned:
+        from pertrenderer_tpu.ops.gather import take_rows
+
+        ids = jax.vmap(lambda v, va: _bin_face_ids(
+            cfg, v, va.astype(jnp.float32)))(fv_ndc, validf)  # (N, nt, M)
+        to_tiles = jax.vmap(take_rows)      # (N, F, D), (N, nt, M) -> tiles
+        fv_ndc, fv_world, fn_world, tex_tab = (
+            to_tiles(fv_ndc, ids), to_tiles(fv_world, ids),
+            to_tiles(fn_world, ids), to_tiles(tex_tab, ids))
+        valid = (ids >= 0).astype(jnp.float32)[..., None]  # (N, nt, M, 1)
+    else:
+        def pad_f(x):
+            return jnp.pad(x, ((0, 0), (0, cfg.f_pad - f), (0, 0)))
+        fv_ndc, fv_world, fn_world, tex_tab = (
+            pad_f(fv_ndc), pad_f(fv_world), pad_f(fn_world),
+            pad_f(tex_tab))
+        validf = jnp.pad(validf, ((0, 0), (0, cfg.f_pad - f)))
+        valid = validf.astype(jnp.float32)[..., None]    # (N, F_pad, 1)
 
     def b3(x):
         x = jnp.asarray(x, jnp.float32)

@@ -55,16 +55,17 @@ def build_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, (DATA_AXIS, SAMPLE_AXIS))
 
 
-def _data_specs(tree, axis=DATA_AXIS):
-    """Per-leaf PartitionSpecs: shard rank>=1 leaves on the data axis,
+def _data_specs(tree, axes=(DATA_AXIS,)):
+    """Per-leaf PartitionSpecs: shard rank>=1 leaves on the data axes,
     replicate scalars (e.g. Adam's step count)."""
     return jax.tree.map(
-        lambda leaf: P(axis) if jnp.ndim(leaf) >= 1 else P(), tree)
+        lambda leaf: P(axes) if jnp.ndim(leaf) >= 1 else P(), tree)
 
 
 def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
                            optimizer, opt_state_example,
-                           smoothing_lr: float = 0.0):
+                           smoothing_lr: float = 0.0,
+                           data_axes: Tuple[str, ...] = (DATA_AXIS,)):
     """Build a jitted multi-chip pose training step.
 
     The returned step maps (log_rot (B, 3), opt_state, targets (B, H, W, 3),
@@ -78,8 +79,6 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
     regularization signal of `/root/reference/experiments/eval.py:382-394`
     computed collectively.
     """
-    n_data = mesh.shape[DATA_AXIS]
-
     def per_problem_loss(log_rot, renderer, target, key):
         rot = so3_exp_map(log_rot[None])
         pred = scene_mesh.update_padded(
@@ -98,8 +97,10 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
         (mean_loss, losses), grads = jax.value_and_grad(
             batch_loss, argnums=(0, 1), has_aux=True)(log_rot, renderer)
         g_pose, g_renderer = grads
-        # Shared smoothing parameters: average gradients across the data axis.
-        g_renderer = jax.lax.pmean(g_renderer, DATA_AXIS)
+        # Shared smoothing parameters: average gradients across every
+        # batch-sharding axis (for multi-slice meshes this pmean of three
+        # scalars is the only cross-DCN collective).
+        g_renderer = jax.lax.pmean(g_renderer, data_axes)
         updates, opt_state = optimizer.update(g_pose, opt_state, log_rot)
         log_rot = optax.apply_updates(log_rot, updates)
         if smoothing_lr > 0.0:
@@ -118,12 +119,13 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
             renderer = renderer.replace(shader=shader)
         return log_rot, opt_state, losses, renderer
 
-    opt_specs = _data_specs(opt_state_example)
+    opt_specs = _data_specs(opt_state_example, data_axes)
+    batch_spec = P(data_axes)
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), opt_specs, P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), opt_specs, P(DATA_AXIS), P()),
+        in_specs=(batch_spec, opt_specs, batch_spec, batch_spec, P()),
+        out_specs=(batch_spec, opt_specs, batch_spec, P()),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -242,6 +242,76 @@ def test_eligibility_fallbacks():
                     sh.smoothrast, sh.smoothagg, settings, "phong") is None
 
 
+def _build_sphere(imsize=128, k=64, subdiv=2):
+    verts, faces = pt.make_icosphere(subdiv)          # subdiv 2 -> 320 faces
+    mesh = pt.Meshes.create(verts, faces, textures=pt.TexturesVertex(
+        jnp.linspace(0.2, 1.0, verts.shape[0] * 3).reshape(1, -1, 3)))
+    r, t = pt.look_at_view_transform(dist=2.7, elev=20.0, azim=50.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    settings = pt.RasterizationSettings(
+        image_size=imsize, blur_radius=blur, faces_per_pixel=k, bin_size=0,
+        max_faces_per_bin=50000)
+    renderer = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                            raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=pt.SoftRast.create(sigma=sigma),
+            smoothagg=pt.SoftAgg.create(gamma=gamma)))
+    return mesh, cameras, lights, renderer
+
+
+def test_binned_forward_and_gradient_parity(monkeypatch):
+    """Binned mode (slots = bin-local face lists) matches the staged path on
+    a mesh too large for flat slots, forward and backward — including the
+    take_rows scatter of per-tile table gradients back to faces.
+
+    Semantics are p_tile-independent (position-keyed PRNG), so the tile
+    width is shrunk to keep the interpreter run fast.
+    """
+    monkeypatch.setattr(fr, "_BIN_P_TILE", 32)
+    mesh, cameras, lights, renderer = _build_sphere(imsize=64)
+    cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
+                   renderer.shader.smoothrast, renderer.shader.smoothagg,
+                   renderer.rasterizer.raster_settings, "phong")
+    assert cfg is not None and cfg.binned
+
+    a = _render(renderer, mesh, cameras, lights, KEY, True)
+    b = _render(renderer, mesh, cameras, lights, KEY, False)
+    assert (b[..., 3] > 0.5).sum() > 100
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def loss(v, sig, gam, fused):
+        os.environ["PERTRENDERER_FUSED"] = "interpret" if fused else "off"
+        rr = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sig, gamma=gam))
+        img = rr(mesh.update_padded(v), key=KEY, cameras=cameras,
+                 lights=lights)
+        return jnp.mean(img ** 2)
+
+    args = (mesh.verts, jnp.asarray(1e-3), jnp.asarray(1e-2))
+    gf = jax.grad(loss, argnums=(0, 1, 2))(*args, True)
+    gx = jax.grad(loss, argnums=(0, 1, 2))(*args, False)
+    for n, x, y in zip(["verts", "sigma", "gamma"], gf, gx):
+        x, y = np.asarray(x), np.asarray(y)
+        assert np.abs(x - y).max() / max(np.abs(y).max(), 1e-12) < 1e-3, n
+
+
+def test_binned_capacity_gate():
+    """Coarse-tile configurations of large meshes (where the M-slot budget
+    could silently drop faces) stay on the staged XLA path."""
+    mesh, cameras, lights, renderer = _build_sphere(imsize=64)
+    cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
+                   renderer.shader.smoothrast, renderer.shader.smoothagg,
+                   renderer.rasterizer.raster_settings, "phong")
+    assert cfg is None   # 64^2 with 128-wide tiles: no sub-row binning
+
+
 def test_gaussian_forward_expectation():
     """Stochastic menu: fused and XLA forwards agree in expectation."""
     mesh, cameras, lights, renderer = _build("gaussian", imsize=12, k=16,

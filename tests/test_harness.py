@@ -118,9 +118,11 @@ def test_pose_opt_kill_and_resume_reproduces_trajectory(tmp_path):
     full = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
                                  renderers[0], target_rgb, **kw)
     ckpt = str(tmp_path / "ckpt")
+    # Segments are uniform (50 iters); kill after the third so the resume
+    # crosses the first annealing decision (fires at iter 150).
     killed = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
                                    renderers[0], target_rgb,
-                                   checkpoint_dir=ckpt, max_segments=1, **kw)
+                                   checkpoint_dir=ckpt, max_segments=3, **kw)
     assert killed.losses.shape == (150,)
     resumed = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
                                     renderers[0], target_rgb,

@@ -130,3 +130,84 @@ def test_sample_sharding_matches_single_device():
     # device's 64-sample estimate
     one = perturbed_heaviside(d, jnp.asarray(0.5), key, 64, "gaussian", True)
     assert np.abs(np.asarray(out) - np.asarray(one)).max() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multislice_mesh_pose_step():
+    """The (slice, data, samples) hybrid mesh runs the full sharded pose
+    step with the batch sharded jointly over slice x data — the multi-slice
+    deployment layout (only the smoothing-grad pmean crosses the DCN axis).
+    """
+    import optax
+
+    import pertrenderer_tpu as pt
+    from pertrenderer_tpu.parallel import distributed
+    from pertrenderer_tpu.transforms import Rotate
+
+    assert distributed.initialize() is False     # single-process: no-op
+
+    mesh = distributed.build_multislice_mesh(num_slices=2,
+                                             samples_parallel=2)
+    assert dict(mesh.shape) == {"slice": 2, "data": 2, "samples": 2}
+
+    scene_mesh = pt.load_cube().scale_verts(2.0)
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    settings = pt.RasterizationSettings(image_size=16, faces_per_pixel=4,
+                                        blur_radius=9e-3 * sigma / 1e-3)
+    renderer = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                            raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=pt.GaussianRast.create(
+                sigma=sigma, nb_samples=2,
+                sample_axis=sharding.SAMPLE_AXIS),
+            smoothagg=pt.GaussianAgg.create(
+                gamma=gamma, nb_samples=2,
+                sample_axis=sharding.SAMPLE_AXIS)))
+
+    batch = 4                                    # slice x data
+    key = jax.random.PRNGKey(0)
+    r_true = pt.random_rotations(batch, key)
+    tmesh = scene_mesh.extend(batch).update_padded(
+        Rotate(r_true).transform_points(
+            jnp.repeat(scene_mesh.verts, batch, axis=0)))
+    cams_b = pt.PerspectiveCameras.create(
+        R=jnp.repeat(r, batch, 0), T=jnp.repeat(t, batch, 0), fov=60.0)
+    lights_b = pt.PointLights.create(location=(0.0, 2.0, -2.0), batch=batch)
+    hard = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(
+            cameras=cameras,
+            raster_settings=pt.RasterizationSettings(image_size=16,
+                                                     faces_per_pixel=1)),
+        shader=pt.HardPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(background_color=(0.0, 0.0, 0.0))))
+    targets = hard(tmesh, cameras=cams_b, lights=lights_b)[..., :3]
+
+    log_rot = 0.1 * jax.random.normal(key, (batch, 3))
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(batch))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(log_rot)
+    axes = (distributed.SLICE_AXIS, sharding.DATA_AXIS)
+    step = sharding.make_sharded_pose_step(
+        mesh, scene_mesh, cameras, lights, opt, opt_state,
+        smoothing_lr=1e-4, data_axes=axes)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bs = NamedSharding(mesh, P(axes))
+    log_rot = jax.device_put(log_rot, bs)
+    targets = jax.device_put(targets, bs)
+    keys = jax.device_put(keys, bs)
+    opt_state = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        opt_state, sharding._data_specs(opt_state, axes))
+    log_rot, opt_state, losses, renderer = step(log_rot, opt_state, targets,
+                                                keys, renderer)
+    losses = np.asarray(jax.block_until_ready(losses))
+    assert losses.shape == (batch,) and np.isfinite(losses).all()

@@ -61,9 +61,9 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
-        images = r(pred, key=(keys[0], keys[1]), cameras=cameras,
-                   lights=lights)
-        return jnp.mean((images[..., :3] - target) ** 2)
+        # One fused loss+grad kernel per step on TPU (renderer.render_loss).
+        return r.render_loss(pred, target, key=(keys[0], keys[1]),
+                             cameras=cameras, lights=lights)
 
     def make(n):
         @jax.jit

@@ -274,9 +274,10 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
         rot = so3_exp_map(log_rot)
         pred = mesh.update_padded(
             Rotate(rot).transform_points(mesh.verts_padded()))
-        images = renderer(pred, key=(keys[0], keys[1]), cameras=cameras,
-                          lights=lights)
-        return jnp.mean((images[..., :3] - target) ** 2)
+        # mean((render - target)^2); on TPU-fused configs, loss AND grads
+        # come from one kernel pass (renderer.render_loss).
+        return renderer.render_loss(pred, target, key=(keys[0], keys[1]),
+                                    cameras=cameras, lights=lights)
 
     def step(carry, keys):
         # keys: (3, 2) pre-split per-iteration keys (estimator rast/agg +
@@ -570,8 +571,9 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         if param_to_check.get("textures"):
             mesh = mesh.with_textures(pt.TexturesVertex(
                 jnp.clip(params["verts_rgb"], 0.0, 1.0)))
-        images = renderer(mesh, key=key, cameras=camera, lights=lights)
-        loss_rgb = jnp.mean(jnp.abs(images[..., :3] - target))
+        loss_rgb = renderer.render_loss(mesh, target, key=key,
+                                        loss_kind="l1_rgb", cameras=camera,
+                                        lights=lights)
         loss_lap = pt.mesh_laplacian_smoothing(mesh)
         total = loss_rgb + laplacian_weight * loss_lap
         return total, (loss_rgb, loss_lap)

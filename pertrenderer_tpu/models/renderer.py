@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax.numpy as jnp
 from flax import struct
 
 from pertrenderer_tpu.cameras import PerspectiveCameras
@@ -99,7 +100,7 @@ class MeshRenderer:
     _FUSED_SHADE = {"RandomPhongShader": "phong",
                     "RandomSimpleShader": "none"}
 
-    def _try_fused(self, meshes, cameras, key, kwargs):
+    def _fused_args(self, cameras, kwargs):
         shader = self.shader
         shade = self._FUSED_SHADE.get(type(shader).__name__)
         if shade is None or cameras is None:
@@ -110,12 +111,49 @@ class MeshRenderer:
         # shader's own camera resolution; only fuse when they coincide.
         if kwargs.get("cameras", shader.cameras) is not cameras:
             return None
+        return (cameras,
+                kwargs.get("lights", shader.lights),
+                kwargs.get("materials", shader.materials),
+                shader.smoothrast, shader.smoothagg,
+                kwargs.get("blend_params", shader.blend_params),
+                self.rasterizer.raster_settings), shade
+
+    def _try_fused(self, meshes, cameras, key, kwargs):
+        args = self._fused_args(cameras, kwargs)
+        if args is None:
+            return None
         from pertrenderer_tpu.ops import fused_render
 
-        return fused_render.try_render(
-            meshes, cameras,
-            kwargs.get("lights", shader.lights),
-            kwargs.get("materials", shader.materials),
-            shader.smoothrast, shader.smoothagg,
-            kwargs.get("blend_params", shader.blend_params),
-            self.rasterizer.raster_settings, key, shade)
+        (cameras, lights, materials, sr, sa, blend, settings), shade = args
+        return fused_render.try_render(meshes, cameras, lights, materials,
+                                       sr, sa, blend, settings, key, shade)
+
+    def render_loss(self, meshes, target, key=None, loss_kind="l2_rgb",
+                    **kwargs):
+        """Mean image loss vs ``target`` (N, H, W, 3) over the RGB channels:
+        ``l2_rgb`` = mean squared error (the pose loop's loss,
+        `/root/reference/experiments/eval.py:354`), ``l1_rgb`` = mean
+        absolute error (the scene-parameter loop's, `eval.py:454`).
+
+        On eligible fused configurations, loss AND every gradient come from
+        a single kernel pass (the image-loss cotangent is derived in-kernel
+        from the target), so ``jax.value_and_grad`` of this costs one
+        launch.  Otherwise renders and reduces like the reference.
+        """
+        cameras = kwargs.get("cameras", self.rasterizer.cameras)
+        args = self._fused_args(cameras, kwargs)
+        if args is not None:
+            from pertrenderer_tpu.ops import fused_render
+
+            (cameras, lights, materials, sr, sa, blend, settings), shade = \
+                args
+            out = fused_render.try_render_loss(
+                meshes, cameras, lights, materials, sr, sa, blend, settings,
+                key, shade, target, loss_kind)
+            if out is not None:
+                return out
+        images = self(meshes, key=key, **kwargs)
+        diff = images[..., :3] - target
+        if loss_kind == "l1_rgb":
+            return jnp.mean(jnp.abs(diff))
+        return jnp.mean(diff ** 2)

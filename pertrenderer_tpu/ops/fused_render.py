@@ -65,7 +65,8 @@ from jax.experimental.pallas import tpu as pltpu
 from pertrenderer_tpu.ops.perturbed import log_corrected, prod_corrected
 from pertrenderer_tpu.ops.rasterize import _face_pixel_geometry
 
-__all__ = ["FusedConfig", "fused_available", "try_render", "MAX_SLOTS"]
+__all__ = ["FusedConfig", "fused_available", "try_render",
+           "try_render_loss", "MAX_SLOTS"]
 
 MAX_SLOTS = 256          # flat-mode face budget (F_pad <= MAX_SLOTS)
 MAX_BIN_SLOTS = 176      # binned-mode per-tile face budget (VMEM-bound:
@@ -897,6 +898,219 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused value-and-grad: loss + every gradient in ONE kernel pass
+# ---------------------------------------------------------------------------
+
+def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
+                      fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
+                      target_ref, lscale_ref, loss_ref, g_ndc_ref,
+                      g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref, *, cfg,
+                      loss_kind):
+    """The backward kernel with the image-loss cotangent derived in place:
+    emits (loss partial, table/scalar gradients) — value_and_grad of the
+    image loss costs one kernel launch instead of forward + backward."""
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+    rd = _rd(cfg)
+    lscale = lscale_ref[0, 0]
+    pvf = pixvalid.astype(jnp.float32)
+
+    def loss_and_cotangent(rgb_rows):
+        d = [(rgb_rows[c] - target_ref[c:c + 1]) * pvf for c in range(3)]
+        if loss_kind == "l2_rgb":
+            loss = (sum(jnp.sum(x * x) for x in d)) * lscale
+            g = [2.0 * x * lscale for x in d]
+        else:                                  # l1_rgb
+            loss = (sum(jnp.sum(jnp.abs(x)) for x in d)) * lscale
+            g = [jnp.sign(x) * lscale for x in d]
+        return loss, g
+
+    def full_pipeline(_):
+        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+        (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
+            det1, rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref),
+            scal)
+
+        sigma = scal[0, _S_SIGMA]
+        gamma = scal[0, _S_GAMMA]
+        if cfg.rast_kind == "mc":
+            prob_raw, coeff = _mc_rast_fwd_coeff(
+                cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
+            vjp_rast = None
+        else:
+            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+        prob = prob_raw * maskf
+
+        zmap_full, vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
+        if cfg.agg_kind == "soft":
+            weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
+        elif cfg.agg_kind == "hard":
+            weights, vjp2b = _hard_onehot_rows(zmap_full), None
+        else:
+            weights = _mc_agg_forward(cfg, zmap_full, gamma,
+                                      seeds_ref[0, 2], seeds_ref[0, 3], pos)
+            vjp2b = None
+
+        out3, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2,
+                             scal)
+        loss_tile, g_rgb = loss_and_cotangent(
+            [out3[c:c + 1] for c in range(3)])
+        g_rgba = jnp.concatenate(
+            g_rgb + [jnp.zeros((1, cfg.p_tile), jnp.float32)], axis=0)
+        g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
+
+        g_scal_extra = jnp.zeros((1, _NS), jnp.float32)
+        if cfg.agg_kind == "soft":
+            g_zmap, g_scal2b = vjp2b(g_weights)
+            g_scal_extra = g_scal_extra + g_scal2b
+        elif cfg.agg_kind == "hard":
+            g_zmap = jnp.zeros_like(zmap_full)
+        else:
+            g_zmap, gamma_term = _mc_agg_grads(
+                cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
+                seeds_ref[0, 3], pos)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+            g_scal_extra = g_scal_extra + jnp.where(
+                cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
+
+        g_prob2, g_z, g_scal2 = vjp2(g_zmap)
+        g_prob_raw = (g_prob2 + g_prob3) * maskf
+
+        if cfg.rast_kind == "mc":
+            g_d = coeff * g_prob_raw
+            g_dist = -g_d
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+            g_scal_extra = g_scal_extra + jnp.where(
+                cols == _S_SIGMA, jnp.sum(g_d), 0.0)
+        else:
+            g_dist, g_scal_r = vjp_rast(g_prob_raw)
+            g_scal_extra = g_scal_extra + g_scal_r
+
+        g_ndc, g_world, g_fn, g_tex, g_scal1 = vjp1(
+            (g_dist, g_z, g_c0, g_c1, g_c2, jnp.zeros_like(maskf)))
+        g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
+        return loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal
+
+    def bg_only(_):
+        bg_rows = [jnp.full((1, cfg.p_tile), scal[0, _S_BG + c])
+                   for c in range(3)]
+        loss_tile, g_rgb = loss_and_cotangent(bg_rows)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+        g_scal = jnp.zeros((1, _NS), jnp.float32)
+        for c in range(3):
+            g_scal = g_scal + jnp.where(cols == _S_BG + c,
+                                        jnp.sum(g_rgb[c]), 0.0)
+        zf9 = jnp.zeros((cfg.f_pad, 9), jnp.float32)
+        return (loss_tile, zf9, zf9, zf9,
+                jnp.zeros((cfg.f_pad, cfg.tex_d), jnp.float32), g_scal)
+
+    loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+        active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+
+    first = tile_ref[0, 0, 0] == 0
+
+    if cfg.binned:
+        g_ndc_ref[0] = g_ndc
+        g_world_ref[0] = g_world
+        g_fn_ref[0] = g_fn
+        g_tex_ref[0] = g_tex
+
+        @pl.when(first)
+        def _init():
+            loss_ref[:] = jnp.reshape(loss_tile, (1, 1))
+            g_scal_ref[:] = g_scal
+
+        @pl.when(jnp.logical_not(first))
+        def _accum():
+            loss_ref[:] = loss_ref[:] + jnp.reshape(loss_tile, (1, 1))
+            g_scal_ref[:] = g_scal_ref[:] + g_scal
+    else:
+        @pl.when(first)
+        def _init():
+            loss_ref[:] = jnp.reshape(loss_tile, (1, 1))
+            g_ndc_ref[:] = g_ndc
+            g_world_ref[:] = g_world
+            g_fn_ref[:] = g_fn
+            g_tex_ref[:] = g_tex
+            g_scal_ref[:] = g_scal
+
+        @pl.when(jnp.logical_not(first))
+        def _accum():
+            loss_ref[:] = loss_ref[:] + jnp.reshape(loss_tile, (1, 1))
+            g_ndc_ref[:] = g_ndc_ref[:] + g_ndc
+            g_world_ref[:] = g_world_ref[:] + g_world
+            g_fn_ref[:] = g_fn_ref[:] + g_fn
+            g_tex_ref[:] = g_tex_ref[:] + g_tex
+            g_scal_ref[:] = g_scal_ref[:] + g_scal
+
+
+def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
+                      scal, seeds, target_cm, lscale):
+    nt = _n_tiles(cfg)
+    f, dt = cfg.f_pad, cfg.tex_d
+    acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
+                                     memory_space=pltpu.VMEM)
+    if cfg.binned:
+        tblspec = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda i, s=len(shape): (i,) + (0,) * s,
+            memory_space=pltpu.VMEM)
+        tblshape = lambda shape: jax.ShapeDtypeStruct((nt,) + shape,
+                                                      jnp.float32)
+    else:
+        tblspec = acc
+        tblshape = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    return pl.pallas_call(
+        partial(_loss_grad_kernel, cfg=cfg, loss_kind=loss_kind),
+        grid=(nt,),
+        in_specs=_common_specs(cfg) + [
+            pl.BlockSpec((3, cfg.p_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),      # target tile
+            _const_spec((1, 1)),                        # loss scale
+        ],
+        out_specs=(acc((1, 1)), tblspec((f, 9)), tblspec((f, 9)),
+                   tblspec((f, 9)), tblspec((f, dt)), acc((1, _NS))),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            tblshape((f, 9)), tblshape((f, 9)), tblshape((f, 9)),
+            tblshape((f, dt)),
+            jax.ShapeDtypeStruct((1, _NS), jnp.float32),
+        ),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), _active_tiles(cfg, fv_ndc, valid), seeds, fv_ndc,
+      fv_world, fn, tex, valid, scal, target_cm, lscale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_loss_core(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid, scal,
+                     seeds, target_cm, lscale):
+    loss, *_ = _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex,
+                                 valid, scal, seeds, target_cm, lscale)
+    return loss[0, 0]
+
+
+def _flc_fwd(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+             target_cm, lscale):
+    loss, g_ndc, g_world, g_fn, g_tex, g_scal = _pallas_loss_grad(
+        cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+        target_cm, lscale)
+    res = (g_ndc, g_world, g_fn, g_tex, g_scal, valid, seeds, target_cm,
+           lscale)
+    return loss[0, 0], res
+
+
+def _flc_bwd(cfg, loss_kind, res, g):
+    g_ndc, g_world, g_fn, g_tex, g_scal, valid, seeds, target_cm, ls = res
+    return (g * g_ndc, g * g_world, g * g_fn, g * g_tex,
+            jnp.zeros_like(valid), g * g_scal,
+            np.zeros(seeds.shape, jax.dtypes.float0),
+            jnp.zeros_like(target_cm), jnp.zeros_like(ls))
+
+
+_fused_loss_core.defvjp(_flc_fwd, _flc_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Eligibility + public entry
 # ---------------------------------------------------------------------------
 
@@ -1052,16 +1266,11 @@ def _key_words(key):
     return data[0].astype(jnp.int32), data[-1].astype(jnp.int32)
 
 
-def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
-               blend_params, settings, key, shade: str):
-    """Render via the fused kernel, or return None if the configuration is
-    not fused-eligible (caller falls back to the XLA-composed path)."""
+def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
+                    smoothagg, blend_params, settings, key, shade):
+    """Build the kernel's tensor inputs (face tables, validity, packed
+    scalars, seeds) — shared by the render and loss-and-grad entries."""
     from pertrenderer_tpu.textures import TexturesUV, TexturesVertex
-
-    cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
-                settings, shade)
-    if cfg is None:
-        return None
 
     n = meshes.batch_size
     f = meshes.max_faces
@@ -1128,10 +1337,15 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
 
         ids = jax.vmap(lambda v, va: _bin_face_ids(
             cfg, v, va.astype(jnp.float32)))(fv_ndc, validf)  # (N, nt, M)
-        to_tiles = jax.vmap(take_rows)      # (N, F, D), (N, nt, M) -> tiles
+        # One fused gather over the concatenated tables: the one-hot matmul
+        # is O(rows x F), so a single (27+Dt)-wide pass (and its single
+        # transposed-matmul scatter in the VJP) beats four narrow ones.
+        merged = jnp.concatenate([fv_ndc, fv_world, fn_world, tex_tab],
+                                 axis=-1)
+        tiles = jax.vmap(take_rows)(merged, ids)           # (N, nt, M, D)
         fv_ndc, fv_world, fn_world, tex_tab = (
-            to_tiles(fv_ndc, ids), to_tiles(fv_world, ids),
-            to_tiles(fn_world, ids), to_tiles(tex_tab, ids))
+            tiles[..., :9], tiles[..., 9:18], tiles[..., 18:27],
+            tiles[..., 27:])
         valid = (ids >= 0).astype(jnp.float32)[..., None]  # (N, nt, M, 1)
     else:
         def pad_f(x):
@@ -1162,9 +1376,56 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
         b1(smoothrast.sigma)[:, None], b1(smoothagg.gamma)[:, None],
         b1(smoothagg.alpha)[:, None],
     ], axis=1)[:, None, :]                               # (N, 1, NS)
+    return fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds
 
-    out = jax.vmap(partial(_fused_core, cfg))(
-        fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds)
+
+def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
+               blend_params, settings, key, shade: str):
+    """Render via the fused kernel, or return None if the configuration is
+    not fused-eligible (caller falls back to the XLA-composed path)."""
+    cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+                settings, shade)
+    if cfg is None:
+        return None
+    inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
+                             smoothrast, smoothagg, blend_params, settings,
+                             key, shade)
+    out = jax.vmap(partial(_fused_core, cfg))(*inputs)
+    n = meshes.batch_size
     hw = cfg.image_size * cfg.image_size
     rgba = out[:, :, :hw].reshape(n, 4, cfg.image_size, cfg.image_size)
     return jnp.moveaxis(rgba, 1, -1)
+
+
+def try_render_loss(meshes, cameras, lights, materials, smoothrast,
+                    smoothagg, blend_params, settings, key, shade: str,
+                    target, loss_kind: str):
+    """Image loss (mean L2 or L1 over the RGB channels vs ``target``) with
+    loss, backward and all gradients computed in ONE fused kernel pass, or
+    None if not fused-eligible.
+
+    The image loss is pixel-local, so the kernel derives the output-image
+    cotangent from the target in place — value_and_grad of the returned
+    scalar costs a single kernel launch (the custom-VJP forward stashes the
+    O(F) gradients as residuals; the backward rule only scales them).
+    """
+    if loss_kind not in ("l2_rgb", "l1_rgb"):
+        return None
+    cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+                settings, shade)
+    if cfg is None:
+        return None
+    inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
+                             smoothrast, smoothagg, blend_params, settings,
+                             key, shade)
+    n = meshes.batch_size
+    hw = cfg.image_size * cfg.image_size
+    hwpad = _n_tiles(cfg) * cfg.p_tile
+    target = jnp.broadcast_to(jnp.asarray(target, jnp.float32),
+                              (n, cfg.image_size, cfg.image_size, 3))
+    tcm = jnp.moveaxis(target, -1, 1).reshape(n, 3, hw)
+    tcm = jnp.pad(tcm, ((0, 0), (0, 0), (0, hwpad - hw)))
+    lscale = jnp.full((n, 1, 1), 1.0 / (n * hw * 3), jnp.float32)
+    losses = jax.vmap(partial(_fused_loss_core, cfg, loss_kind))(
+        *inputs, tcm, lscale)
+    return jnp.sum(losses)

@@ -312,6 +312,63 @@ def test_binned_capacity_gate():
     assert cfg is None   # 64^2 with 128-wide tiles: no sub-row binning
 
 
+@pytest.mark.parametrize("noise,loss_kind", [
+    ("softras", "l2_rgb"), ("softras", "l1_rgb"), ("gaussian", "l2_rgb"),
+])
+def test_render_loss_single_kernel_parity(noise, loss_kind):
+    """value_and_grad of renderer.render_loss (ONE fused kernel computing
+    loss + gradients with the image-loss cotangent derived in-kernel) ==
+    value_and_grad of the manual mean-over-rendered-image composition.
+
+    For the stochastic menu both sides run the same fused forward with the
+    same position-keyed noise, so the match is exact, not statistical."""
+    mesh, cameras, lights, renderer = _build(noise, s=4)
+    tgt = jnp.linspace(0.0, 1.0, 16 * 16 * 3).reshape(1, 16, 16, 3)
+
+    def manual(log_rot, sigma, gamma, alpha):
+        rr = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sigma, gamma=gamma, alpha=alpha))
+        rot = so3_exp_map(log_rot)
+        pred = mesh.update_padded(Rotate(rot).transform_points(
+            mesh.verts_padded()))
+        img = rr(pred, key=KEY, cameras=cameras, lights=lights)
+        d = img[..., :3] - tgt
+        return (jnp.mean(jnp.abs(d)) if loss_kind == "l1_rgb"
+                else jnp.mean(d ** 2))
+
+    def fused_loss(log_rot, sigma, gamma, alpha):
+        rr = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sigma, gamma=gamma, alpha=alpha))
+        rot = so3_exp_map(log_rot)
+        pred = mesh.update_padded(Rotate(rot).transform_points(
+            mesh.verts_padded()))
+        return rr.render_loss(pred, tgt, key=KEY, loss_kind=loss_kind,
+                              cameras=cameras, lights=lights)
+
+    args = (jnp.array([[0.1, -0.2, 0.3]]), jnp.asarray(1e-2),
+            jnp.asarray(5e-1), jnp.asarray(1.0))
+    la, ga = jax.value_and_grad(manual, argnums=(0, 1, 2, 3))(*args)
+    lb, gb = jax.value_and_grad(fused_loss, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for n, x, y in zip(["log_rot", "sigma", "gamma", "alpha"], ga, gb):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1e-10)
+        assert np.abs(x - y).max() / scale < 1e-4, (n, x, y)
+
+
+def test_render_loss_fallback_matches():
+    """On ineligible configs render_loss reduces the rendered image exactly
+    like the reference's manual loss."""
+    os.environ["PERTRENDERER_FUSED"] = "off"
+    mesh, cameras, lights, renderer = _build("softras")
+    tgt = jnp.linspace(0.0, 1.0, 16 * 16 * 3).reshape(1, 16, 16, 3)
+    img = renderer(mesh, key=KEY, cameras=cameras, lights=lights)
+    want = jnp.mean((img[..., :3] - tgt) ** 2)
+    got = renderer.render_loss(mesh, tgt, key=KEY, cameras=cameras,
+                               lights=lights)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
 def test_gaussian_forward_expectation():
     """Stochastic menu: fused and XLA forwards agree in expectation."""
     mesh, cameras, lights, renderer = _build("gaussian", imsize=12, k=16,

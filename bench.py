@@ -90,7 +90,7 @@ def main():
     make = build_scan()
     x0 = jnp.zeros((1, 3))
     k0 = jax.random.PRNGKey(0)
-    n1, n2 = 3, 23
+    n1, n2 = 5, 105
     times = {}
     for n in (n1, n2):
         run = make(n)

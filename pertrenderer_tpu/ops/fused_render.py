@@ -499,6 +499,57 @@ def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
     return g_zmap, gterm
 
 
+def _agg_stash(cfg: FusedConfig) -> bool:
+    """The loss-and-grad kernel's aggregation forward and backward are two
+    loops (the weight cotangent needs the rendered image); stashing the
+    drawn noise in VMEM scratch between them removes one of the kernel's
+    three noise generations.  Bounded by scratch size."""
+    return (cfg.agg_kind == "mc"
+            and cfg.s_agg * cfg.c_zpad * cfg.p_tile * 4 <= 4 * 1024 * 1024)
+
+
+def _mc_agg_forward_stash(cfg, zmap_full, gamma, s0, s1, pos, noise_ref):
+    """_mc_agg_forward that also records each raw draw into scratch."""
+    c, p = zmap_full.shape
+
+    def body(s, acc):
+        n = _draw_block(cfg.agg_noise, s0, s1, s, c, p, pos)
+        noise_ref[pl.ds(s, 1)] = n[None]
+        return acc + _onehot_ge(zmap_full + gamma * n)
+
+    acc = jax.lax.fori_loop(0, cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    return acc * (1.0 / cfg.s_agg)
+
+
+def _mc_agg_grads_stashed(cfg, zmap_full, g_w, gamma, noise_ref):
+    """Perturbed-argmax backward replaying the stashed noise (identical
+    values to a fresh _draw_block replay)."""
+    shape = zmap_full.shape
+    cmask, phimask, phi_comp = _agg_masks(cfg, shape)
+    w0 = _onehot_ge(zmap_full) if cfg.agg_vr else jnp.zeros_like(zmap_full)
+
+    def body(s, carry):
+        acc_z, acc_g = carry
+        n = noise_ref[pl.ds(s, 1)][0] * cmask
+        w = _onehot_ge(zmap_full + gamma * n)
+        diff = (w - w0) * cmask
+        dot = jnp.sum(g_w * diff, axis=0, keepdims=True)
+        acc_z = acc_z + dot * _score(n, cfg.agg_noise)
+        if cfg.agg_noise == "gaussian":
+            phi = jnp.sum(n * n * phimask, axis=0, keepdims=True) + phi_comp
+        else:
+            phi = (jnp.sum(_score(n, cfg.agg_noise) * n * phimask, axis=0,
+                           keepdims=True) + phi_comp)
+        acc_g = acc_g + dot * (phi - 1.0)
+        return acc_z, acc_g
+
+    acc_z, acc_g = jax.lax.fori_loop(
+        0, cfg.s_agg, body,
+        (jnp.zeros(shape, jnp.float32),
+         jnp.zeros((1, shape[1]), jnp.float32)))
+    return acc_z / (cfg.s_agg * gamma), acc_g / (cfg.s_agg * gamma)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -904,8 +955,8 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                       fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
                       target_ref, lscale_ref, loss_ref, g_ndc_ref,
-                      g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref, *, cfg,
-                      loss_kind):
+                      g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref,
+                      *scratch, cfg, loss_kind):
     """The backward kernel with the image-loss cotangent derived in place:
     emits (loss partial, table/scalar gradients) — value_and_grad of the
     image loss costs one kernel launch instead of forward + backward."""
@@ -947,6 +998,11 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
             weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
         elif cfg.agg_kind == "hard":
             weights, vjp2b = _hard_onehot_rows(zmap_full), None
+        elif _agg_stash(cfg):
+            weights = _mc_agg_forward_stash(
+                cfg, zmap_full, gamma, seeds_ref[0, 2], seeds_ref[0, 3],
+                pos, scratch[0])
+            vjp2b = None
         else:
             weights = _mc_agg_forward(cfg, zmap_full, gamma,
                                       seeds_ref[0, 2], seeds_ref[0, 3], pos)
@@ -967,9 +1023,13 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         elif cfg.agg_kind == "hard":
             g_zmap = jnp.zeros_like(zmap_full)
         else:
-            g_zmap, gamma_term = _mc_agg_grads(
-                cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
-                seeds_ref[0, 3], pos)
+            if _agg_stash(cfg):
+                g_zmap, gamma_term = _mc_agg_grads_stashed(
+                    cfg, zmap_full, g_weights, gamma, scratch[0])
+            else:
+                g_zmap, gamma_term = _mc_agg_grads(
+                    cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
+                    seeds_ref[0, 3], pos)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
             g_scal_extra = g_scal_extra + jnp.where(
                 cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
@@ -1060,9 +1120,14 @@ def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
     else:
         tblspec = acc
         tblshape = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    scratch = []
+    if _agg_stash(cfg):
+        scratch.append(pltpu.VMEM((cfg.s_agg, cfg.c_zpad, cfg.p_tile),
+                                  jnp.float32))
     return pl.pallas_call(
         partial(_loss_grad_kernel, cfg=cfg, loss_kind=loss_kind),
         grid=(nt,),
+        scratch_shapes=scratch,
         in_specs=_common_specs(cfg) + [
             pl.BlockSpec((3, cfg.p_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),      # target tile

@@ -431,7 +431,13 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     peak_memory_mb = [None]  # max XLA-reported footprint across segments
 
     def run_segment(n_steps, carry, seg_keys):
-        sig = (n_steps, carry[5].shader.get_nb_samples())
+        # Annealing changes the MC sample count AND blur_radius, both
+        # trace-time constants (blur is static RasterizationSettings
+        # metadata): all must key the compiled-scan cache, or a later
+        # anneal that only shrinks blur (S capped at 128) would call a
+        # stale program with mismatching pytree metadata.
+        sig = (n_steps, carry[5].shader.get_nb_samples(),
+               carry[5].rasterizer.raster_settings.blur_radius)
         if sig not in scan_fn_cache:
             from pertrenderer_tpu.utils.artifacts import (
                 compiled_peak_memory_mb)
@@ -680,7 +686,8 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         if max_segments is not None and segments_run >= max_segments:
             break
         segments_run += 1
-        sig = (n_steps, renderer.shader.get_nb_samples())
+        sig = (n_steps, renderer.shader.get_nb_samples(),
+               renderer.rasterizer.raster_settings.blur_radius)
         if sig not in scan_cache:
             step = make_step(opt)
             scan_cache[sig] = jax.jit(

@@ -169,7 +169,8 @@ def compare_pose_opt(args):
         "category": args.categories,
     }
 
-    for lr, sigma, gamma, nb_mc, adapt_param in _grid(args):
+    for g_idx, (lr, sigma, gamma, nb_mc, adapt_param) in enumerate(
+            _grid(args)):
         angle_errors = {x: [] for x in noise_type}
         angle_errors_init = {x: [] for x in noise_type}
         for i, (target_rgb, R_true, log_rot_init, pkey) in enumerate(problems):
@@ -192,7 +193,10 @@ def compare_pose_opt(args):
                     lr_init=lr, Niter=args.num_iterations,
                     optimizer=args.optimizer, adapt_reg=adapt_reg,
                     adapt_params=adapt_param, artifacts_dir=run_dir,
-                    checkpoint_dir=_ckpt_dir(args, f"pose_p{i}_{nt}"),
+                    # The tag must identify the grid point too — otherwise
+                    # every (lr, sigma, gamma, MC, adapt) config shares one
+                    # checkpoint dir and --resume restores the wrong run.
+                    checkpoint_dir=_ckpt_dir(args, f"pose_g{g_idx}_p{i}_{nt}"),
                     resume=bool(args.resume))
                 ang = float(pt.so3_relative_angle(
                     pt.so3_exp_map(res.best_log_rot), R_true)[0]) * 180.0 / np.pi

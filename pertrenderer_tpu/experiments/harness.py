@@ -645,7 +645,8 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                 rasterizer=renderer.rasterizer.update_blur(float(st["blur"])),
                 shader=renderer.shader.update_smoothing(
                     sigma=jnp.asarray(st["sigma"]),
-                    gamma=jnp.asarray(st["gamma"]))
+                    gamma=jnp.asarray(st["gamma"]),
+                    alpha=jnp.asarray(st["alpha"]))
                 .update_nb_samples(int(st["nb_samples"])))
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(init_opt_state(lr)),
@@ -663,10 +664,11 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
             return
         from pertrenderer_tpu.utils import checkpoint as _ckpt
 
-        sig_, gam_, _ = renderer.shader.get_smoothing()
+        sig_, gam_, alp_ = renderer.shader.get_smoothing()
         state = {"key": key, "best_loss": best_loss,
                  "opt_leaves": list(jax.tree.leaves(opt_state)),
                  "sigma": jnp.asarray(sig_), "gamma": jnp.asarray(gam_),
+                 "alpha": jnp.asarray(alp_),
                  "nb_samples": np.int64(renderer.shader.get_nb_samples()),
                  "blur": np.float64(
                      renderer.rasterizer.raster_settings.blur_radius),

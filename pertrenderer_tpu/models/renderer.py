@@ -139,7 +139,17 @@ class MeshRenderer:
         a single kernel pass (the image-loss cotangent is derived in-kernel
         from the target), so ``jax.value_and_grad`` of this costs one
         launch.  Otherwise renders and reduces like the reference.
+
+        The target is a CONSTANT (stop-gradient) on every path — its role
+        in the experiments (`eval.py:354,454`) — so gradients w.r.t. it are
+        zero by definition, identically on the fused and fallback paths.
         """
+        import jax
+
+        if loss_kind not in ("l2_rgb", "l1_rgb"):
+            raise ValueError(f"unknown loss_kind {loss_kind!r} "
+                             "(expected 'l2_rgb' or 'l1_rgb')")
+        target = jax.lax.stop_gradient(target)
         cameras = kwargs.get("cameras", self.rasterizer.cameras)
         args = self._fused_args(cameras, kwargs)
         if args is not None:

@@ -441,15 +441,20 @@ def _mc_agg_forward(cfg, zmap_full, gamma, s0, s1, pos):
 
 
 def _agg_masks(cfg, shape):
+    """Channel mask plus the phi (gamma-gradient) channel accounting.
+
+    phi must sum the squared noise of every channel that can decide the
+    argmax (their covariance with the weight perturbation is the signal) —
+    that is ALL slot rows plus background, even when f_pad > k (binned
+    mode: a pixel's candidate faces may occupy any bin-local slot row).
+    The reference draws exactly k+1 channels (smoothagg.py:54); the
+    deterministic compensation k - f_pad adds/removes the expectation of
+    the count difference (independent chi^2(1) terms, mean 1 each), so the
+    estimator mean matches the k-slot reference for any slot count.
+    """
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cmask = (rows <= cfg.f_pad).astype(jnp.float32)      # slots + background
-    if cfg.f_pad <= cfg.k:
-        phimask = cmask
-        phi_comp = float(cfg.k - cfg.f_pad)
-    else:
-        phimask = ((rows < cfg.k) | (rows == cfg.f_pad)).astype(jnp.float32)
-        phi_comp = 0.0
-    return cmask, phimask, phi_comp
+    return cmask, cmask, float(cfg.k - cfg.f_pad)
 
 
 def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):

@@ -40,15 +40,23 @@ SLICE_AXIS = "slice"
 _initialized = False
 
 
+# Environment markers of a multi-host TPU deployment where bare
+# `jax.distributed.initialize()` can autodetect the cluster.
+_POD_ENV_MARKERS = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                    "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> bool:
     """Bootstrap `jax.distributed` for multi-host runs; no-op otherwise.
 
     Arguments default to the standard environment (JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the TPU metadata autodetection
-    built into `jax.distributed.initialize`).  Returns True iff a
-    multi-process runtime was initialized.  Safe to call more than once.
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID).  When none are given but the
+    process looks like part of a TPU pod (worker-hostname metadata in the
+    environment), the bare `jax.distributed.initialize()` autodetection is
+    attempted.  Returns True iff a multi-process runtime was initialized.
+    Safe to call more than once; must run before any backend use.
     """
     global _initialized
     if _initialized:
@@ -62,7 +70,15 @@ def initialize(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if coordinator_address is None and num_processes in (None, 1):
-        return False            # single-process: nothing to do
+        if not any(m in os.environ for m in _POD_ENV_MARKERS):
+            return False        # single-process: nothing to do
+        # TPU pod without explicit coordination env: let jax autodetect.
+        try:
+            jax.distributed.initialize()
+        except Exception:       # metadata incomplete — stay single-process
+            return False
+        _initialized = True
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

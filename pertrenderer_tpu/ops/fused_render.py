@@ -856,6 +856,14 @@ def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
     return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(-1, 1, 1)
 
 
+# Above this face count the per-tile top_k over the full (n_tiles, F)
+# score matrix dominates the step (275 ms at 82k faces / 512^2); switch to
+# coarse-to-fine selection.
+_COARSE_THRESHOLD = 8192
+_COARSE_GROUP = 16        # tiles per coarse bin
+_COARSE_M = 4096          # candidate faces per coarse bin
+
+
 def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col):
     """Bin-local face lists: the M *nearest* faces overlapping each tile
     (by minimum corner depth), -1 padded — the `max_faces_per_bin` layout
@@ -863,18 +871,88 @@ def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col):
     (`/root/reference/experiments/eval.py:139`).  When a tile overflows M,
     the farthest faces are dropped — the same degradation direction as the
     reference's keep-K-nearest fragment truncation (occluded fragments
-    carry exponentially small blend weight)."""
+    carry exponentially small blend weight).
+
+    For meshes past _COARSE_THRESHOLD faces, selection is hierarchical:
+    groups of _COARSE_GROUP tiles first pick their _COARSE_M nearest
+    overlapping faces from the full table (16x fewer big-row top_k sorts),
+    then each tile selects its nearest M from the group's candidates —
+    identical results whenever no coarse bin overflows."""
     m = cfg.f_pad
     fv_ndc = jax.lax.stop_gradient(fv_ndc)
-    overlap = _tile_face_overlap(cfg, fv_ndc,
-                                 _face_validb(fv_ndc, valid_col))
-    f = overlap.shape[1]
+    validb = _face_validb(fv_ndc, valid_col)
+    f = fv_ndc.shape[0]
     fz_min = jnp.min(fv_ndc[:, 2::3], axis=1)            # (F,)
+    if f > _COARSE_THRESHOLD:
+        return _bin_face_ids_hier(cfg, fv_ndc, validb, fz_min)
+    overlap = _tile_face_overlap(cfg, fv_ndc, validb)
     score = jnp.where(overlap, -fz_min[None, :], -jnp.inf)
     top, idx = jax.lax.top_k(score, min(m, f))
     out = jnp.where(jnp.isfinite(top), idx.astype(jnp.int32), -1)
     if m > f:
         out = jnp.pad(out, ((0, 0), (0, m - f)), constant_values=-1)
+    return out                                            # (nt, M)
+
+
+def _bin_face_ids_hier(cfg: FusedConfig, fv_ndc, validb, fz_min):
+    h = w = cfg.image_size
+    p, nt = cfg.p_tile, _n_tiles(cfg)
+    m = cfg.f_pad
+    g = _COARSE_GROUP
+    ng = -(-nt // g)
+    mc = min(_COARSE_M, fv_ndc.shape[0])
+    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
+
+    ys = fv_ndc[:, 1::3]
+    xs = fv_ndc[:, 0::3]
+    fy_min = jnp.min(ys, axis=1) - band                  # (F,)
+    fy_max = jnp.max(ys, axis=1) + band
+    fx_min = jnp.min(xs, axis=1) - band
+    fx_max = jnp.max(xs, axis=1) + band
+
+    # Tile and coarse-group NDC y spans (y decreases with pixel row).
+    y_hi_t, y_lo_t = _tile_y_ranges(cfg)                 # (nt,)
+    pad = ng * g - nt
+    y_hi_p = jnp.pad(y_hi_t, (0, pad), constant_values=-np.inf)
+    y_lo_p = jnp.pad(y_lo_t, (0, pad), constant_values=np.inf)
+    y_hi_g = jnp.max(y_hi_p.reshape(ng, g), axis=1)      # (ng,)
+    y_lo_g = jnp.min(y_lo_p.reshape(ng, g), axis=1)
+
+    # Stage 1: nearest-Mc faces overlapping each coarse group.
+    overlap_g = ((fy_min[None, :] <= y_hi_g[:, None])
+                 & (fy_max[None, :] >= y_lo_g[:, None])
+                 & validb[None, :])
+    score_g = jnp.where(overlap_g, -fz_min[None, :], -jnp.inf)
+    topv, cids = jax.lax.top_k(score_g, mc)              # (ng, Mc)
+    cvalid = jnp.isfinite(topv)
+    cids = jnp.where(cvalid, cids.astype(jnp.int32), -1)
+
+    # Candidate bbox/depth columns, one row-gather from a stacked table.
+    cols = jnp.stack([fy_min, fy_max, fx_min, fx_max, fz_min], axis=1)
+    cand = cols[jnp.maximum(cids, 0)]                    # (ng, Mc, 5)
+    c_fy_min = jnp.where(cvalid, cand[..., 0], np.inf)
+    c_fy_max = jnp.where(cvalid, cand[..., 1], -np.inf)
+    c_fx_min = jnp.where(cvalid, cand[..., 2], np.inf)
+    c_fx_max = jnp.where(cvalid, cand[..., 3], -np.inf)
+    c_fz = cand[..., 4]
+
+    # Stage 2: per tile, nearest-M among its group's candidates.
+    def rep(a):                                          # (ng, Mc) -> (nt, Mc)
+        return jnp.repeat(a, g, axis=0)[:nt]
+    overlap_t = ((rep(c_fy_min) <= y_hi_t[:, None])
+                 & (rep(c_fy_max) >= y_lo_t[:, None]))
+    if p < w and w % p == 0:
+        c0 = (np.arange(nt) * p) % w
+        x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
+        x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + p - 1)) / w, jnp.float32)
+        overlap_t = overlap_t & ((rep(c_fx_min) <= x_hi[:, None])
+                                 & (rep(c_fx_max) >= x_lo[:, None]))
+    score_t = jnp.where(overlap_t, -rep(c_fz), -jnp.inf)
+    topv2, pos2 = jax.lax.top_k(score_t, min(m, mc))     # (nt, M)
+    picked = jnp.take_along_axis(rep(cids), pos2, axis=1)
+    out = jnp.where(jnp.isfinite(topv2), picked, -1)
+    if m > mc:
+        out = jnp.pad(out, ((0, 0), (0, m - mc)), constant_values=-1)
     return out                                            # (nt, M)
 
 

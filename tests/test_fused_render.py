@@ -302,6 +302,24 @@ def test_binned_forward_and_gradient_parity(monkeypatch):
         assert np.abs(x - y).max() / max(np.abs(y).max(), 1e-12) < 1e-3, n
 
 
+def test_hierarchical_bin_ids_match_direct(monkeypatch):
+    """Coarse-to-fine bin selection (used past _COARSE_THRESHOLD faces)
+    produces bit-identical per-tile face lists to the direct top_k."""
+    mesh, cameras, lights, renderer = _build_sphere(imsize=256, subdiv=3)
+    cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
+                   renderer.shader.smoothrast, renderer.shader.smoothagg,
+                   renderer.rasterizer.raster_settings, "phong")
+    assert cfg is not None and cfg.binned
+    verts_ndc = cameras.transform_points_ndc(mesh.verts)
+    fv = jax.vmap(fr._gather_rows)(verts_ndc, jnp.maximum(mesh.faces, 0))[0]
+    vc = jnp.ones(mesh.max_faces)
+    direct = np.asarray(fr._bin_face_ids(cfg, fv, vc))
+    monkeypatch.setattr(fr, "_COARSE_THRESHOLD", 100)
+    hier = np.asarray(fr._bin_face_ids(cfg, fv, vc))
+    np.testing.assert_array_equal(direct, hier)
+    assert (direct >= 0).sum() > 1000          # non-trivial scene
+
+
 def test_binned_capacity_gate():
     """Coarse-tile configurations of large meshes (where the M-slot budget
     could silently drop faces) stay on the staged XLA path."""

@@ -387,6 +387,38 @@ def test_render_loss_fallback_matches():
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
 
 
+def test_fixed_noise_is_key_independent():
+    """fixed_noise aggregators reseed deterministically
+    (`/root/reference/randomras/smoothagg.py:18-19`): the fused render must
+    produce identical aggregation noise for different caller keys."""
+    from pertrenderer_tpu.experiments.harness import make_smoothers
+
+    mesh, cameras, lights, renderer = _build("softras")
+    sr, _ = make_smoothers("gaussian", 1e-2, 5e-1, 1.0, 4)
+    agg = pt.GaussianAgg.create(gamma=5e-1, nb_samples=4, fixed_noise=True)
+    # Deterministic coverage (SoftRast) isolates the aggregation noise.
+    renderer = renderer.replace(shader=renderer.shader.replace(
+        smoothrast=pt.SoftRast.create(sigma=1e-2), smoothagg=agg))
+    a = _render(renderer, mesh, cameras, lights, jax.random.PRNGKey(7), True)
+    b = _render(renderer, mesh, cameras, lights, jax.random.PRNGKey(99),
+                True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_loss_simple_shader():
+    """The texel-only shader (shade='none') goes through the single-kernel
+    loss path too."""
+    mesh, cameras, lights, renderer = _build("softras", shade="simple")
+    tgt = jnp.linspace(0.0, 1.0, 16 * 16 * 3).reshape(1, 16, 16, 3)
+    got = renderer.render_loss(mesh, tgt, key=KEY, cameras=cameras,
+                               lights=lights)
+    os.environ["PERTRENDERER_FUSED"] = "off"
+    img = renderer(mesh, key=KEY, cameras=cameras, lights=lights)
+    want = jnp.mean((img[..., :3] - tgt) ** 2)
+    os.environ["PERTRENDERER_FUSED"] = "interpret"
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
 def test_gaussian_forward_expectation():
     """Stochastic menu: fused and XLA forwards agree in expectation."""
     mesh, cameras, lights, renderer = _build("gaussian", imsize=12, k=16,

@@ -394,7 +394,8 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                 shader=renderer.shader.update_smoothing(
                     sigma=jnp.asarray(st["sigma"]),
                     gamma=jnp.asarray(st["gamma"]),
-                    alpha=jnp.asarray(st["alpha"]))
+                    alpha=jnp.asarray(st.get(
+                        "alpha", renderer.shader.smoothagg.alpha)))
                 .update_nb_samples(int(st["nb_samples"])))
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(init_opt_state(lr)),
@@ -646,7 +647,8 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                 shader=renderer.shader.update_smoothing(
                     sigma=jnp.asarray(st["sigma"]),
                     gamma=jnp.asarray(st["gamma"]),
-                    alpha=jnp.asarray(st["alpha"]))
+                    alpha=jnp.asarray(st.get(
+                        "alpha", renderer.shader.smoothagg.alpha)))
                 .update_nb_samples(int(st["nb_samples"])))
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(init_opt_state(lr)),

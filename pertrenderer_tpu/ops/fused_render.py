@@ -106,6 +106,7 @@ class FusedConfig:
 
     image_size: int
     f_pad: int                 # face slots (multiple of 8)
+    f_real: int                # actual face count (<= f_pad)
     k: int                     # reference faces_per_pixel (phi channel count)
     p_tile: int                # pixels per grid step (multiple of 128)
     blur_radius: float
@@ -129,9 +130,21 @@ class FusedConfig:
     binned: bool = False       # slots are bin-local face lists, not all faces
 
     @property
+    def bg_row(self) -> int:
+        """Row index of the background channel in z_map.
+
+        When the real face count is below f_pad, the background channel is
+        *compacted* into the first dead sublane row (slots f_real..f_pad-1
+        are zero-coverage no-ops), so the z_map block — and the argmax noise
+        drawn over it — stays f_pad rows instead of f_pad + 8.
+        """
+        return self.f_real if self.f_real < self.f_pad else self.f_pad
+
+    @property
     def c_zpad(self) -> int:
-        # z_map rows: F_pad slots + background, padded to a sublane multiple
-        return _round_up(self.f_pad + 1, 8)
+        # z_map rows: slots + background, padded to a sublane multiple.
+        # Compacted layout (f_real < f_pad) fits inside f_pad rows.
+        return _round_up(self.bg_row + 1, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +327,12 @@ def _make_det_rast(cfg: FusedConfig):
 
 def _make_det2(cfg: FusedConfig, maskf):
     """The shared aggregation preamble (models/smoothagg.py:43-58):
-    z_inv, corrected log-prob scaling, background channel, -inf row pad."""
+    z_inv, corrected log-prob scaling, background channel.
+
+    Compacted layout (f_real < f_pad): the background value overwrites dead
+    slot row ``bg_row`` elementwise (dead slots are -inf no-ops either way),
+    so the z_map block stays f_pad rows.  Classic layout (f_real == f_pad):
+    background + -inf padding rows are concatenated below the slots."""
 
     def det2(prob, z, scal):
         znear = scal[0, _S_ZNEAR]
@@ -330,6 +348,9 @@ def _make_det2(cfg: FusedConfig, maskf):
             scaled = prod_corrected(gal, lp)
         zmap = scaled + z_inv - z_inv_max
         bg = cfg.eps_bg - z_inv_max
+        if cfg.bg_row < cfg.f_pad:
+            ridx = jax.lax.broadcasted_iota(jnp.int32, zmap.shape, 0)
+            return jnp.where(ridx == cfg.bg_row, bg, zmap)
         rows = [zmap, bg]
         n_pad = cfg.c_zpad - cfg.f_pad - 1
         if n_pad:
@@ -364,8 +385,11 @@ def _make_det3(cfg: FusedConfig):
     product is an unrolled multiply chain so its vjp is Mosaic-friendly."""
 
     def det3(weights, prob, c0, c1, c2, scal):
+        # Slot rows: in the compacted layout the background row sits inside
+        # [:f_pad] but its color is identically 0 (dead-slot mask), so the
+        # weighted sum is unaffected by including it.
         wz = weights[:cfg.f_pad]
-        wb = weights[cfg.f_pad:cfg.f_pad + 1]
+        wb = weights[cfg.bg_row:cfg.bg_row + 1]
         rgb = []
         for c, cc in enumerate((c0, c1, c2)):
             rgb.append(jnp.sum(wz * cc, axis=0, keepdims=True)
@@ -380,6 +404,19 @@ def _make_det3(cfg: FusedConfig):
 
 # --- MC estimator sample loops (hash-PRNG; replayed in backward) -----------
 
+_UNROLL = 16   # sample loops up to this trip count unroll to straight-line
+               # code (no Mosaic loop overhead; sample index is a constant)
+
+
+def _sample_loop(n, body, carry):
+    """fori_loop over samples, unrolled for small static trip counts."""
+    if n <= _UNROLL:
+        for s in range(n):
+            carry = body(s, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, carry)
+
+
 def _mc_rast_forward(cfg, d, sigma, s0, s1, pos):
     c, p = d.shape
 
@@ -387,7 +424,7 @@ def _mc_rast_forward(cfg, d, sigma, s0, s1, pos):
         z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
         return acc + _heaviside(d + sigma * z)
 
-    acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
+    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d))
     return acc * (1.0 / cfg.s_rast)
 
 
@@ -403,7 +440,7 @@ def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos):
         h = _heaviside(d + sigma * z)
         return acc + (h - h0) * _score(z, cfg.rast_noise)
 
-    acc = jax.lax.fori_loop(0, cfg.s_rast, body, jnp.zeros_like(d))
+    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d))
     return acc / (cfg.s_rast * sigma)
 
 
@@ -419,8 +456,8 @@ def _mc_rast_fwd_coeff(cfg, d, sigma, s0, s1, pos):
         h = _heaviside(d + sigma * z)
         return acc_p + h, acc_c + (h - h0) * _score(z, cfg.rast_noise)
 
-    acc_p, acc_c = jax.lax.fori_loop(
-        0, cfg.s_rast, body, (jnp.zeros_like(d), jnp.zeros_like(d)))
+    acc_p, acc_c = _sample_loop(
+        cfg.s_rast, body, (jnp.zeros_like(d), jnp.zeros_like(d)))
     return acc_p * (1.0 / cfg.s_rast), acc_c / (cfg.s_rast * sigma)
 
 
@@ -436,7 +473,7 @@ def _mc_agg_forward(cfg, zmap_full, gamma, s0, s1, pos):
         n = _draw_block(cfg.agg_noise, s0, s1, s, c, p, pos)
         return acc + _onehot_ge(zmap_full + gamma * n)
 
-    acc = jax.lax.fori_loop(0, cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full))
     return acc * (1.0 / cfg.s_agg)
 
 
@@ -445,16 +482,16 @@ def _agg_masks(cfg, shape):
 
     phi must sum the squared noise of every channel that can decide the
     argmax (their covariance with the weight perturbation is the signal) —
-    that is ALL slot rows plus background, even when f_pad > k (binned
-    mode: a pixel's candidate faces may occupy any bin-local slot row).
-    The reference draws exactly k+1 channels (smoothagg.py:54); the
-    deterministic compensation k - f_pad adds/removes the expectation of
-    the count difference (independent chi^2(1) terms, mean 1 each), so the
-    estimator mean matches the k-slot reference for any slot count.
+    that is every slot row plus background (rows <= bg_row; in the
+    compacted layout rows past bg_row are dead padding).  The reference
+    draws exactly k+1 channels (smoothagg.py:54); the deterministic
+    compensation k - bg_row adds/removes the expectation of the count
+    difference (independent chi^2(1) terms, mean 1 each), so the estimator
+    mean matches the k-slot reference for any physical channel count.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cmask = (rows <= cfg.f_pad).astype(jnp.float32)      # slots + background
-    return cmask, cmask, float(cfg.k - cfg.f_pad)
+    cmask = (rows <= cfg.bg_row).astype(jnp.float32)     # slots + background
+    return cmask, cmask, float(cfg.k - cfg.bg_row)
 
 
 def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
@@ -471,7 +508,11 @@ def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
     """
     shape = zmap_full.shape
     cmask, phimask, phi_comp = _agg_masks(cfg, shape)
-    w0 = _onehot_ge(zmap_full) if cfg.agg_vr else jnp.zeros_like(zmap_full)
+    # First-wins one-hot for the VR baseline (torch.max scatter semantics,
+    # smoothagg.py:37-39); the perturbed draws keep the cheaper >=-max
+    # one-hot (continuous noise makes their ties measure-zero).
+    w0 = (_hard_onehot_rows(zmap_full) if cfg.agg_vr
+          else jnp.zeros_like(zmap_full))
 
     def body(s, carry):
         acc_w, acc_z, acc_g = carry
@@ -489,8 +530,8 @@ def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
         acc_g = acc_g + dot * (phi - 1.0)
         return acc_w + w, acc_z, acc_g
 
-    acc_w, acc_z, acc_g = jax.lax.fori_loop(
-        0, cfg.s_agg, body,
+    acc_w, acc_z, acc_g = _sample_loop(
+        cfg.s_agg, body,
         (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
          jnp.zeros((1, shape[1]), jnp.float32)))
     return (acc_w * (1.0 / cfg.s_agg), acc_z / (cfg.s_agg * gamma),
@@ -502,6 +543,23 @@ def _mc_agg_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
     _, g_zmap, gterm = _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1,
                                          pos)
     return g_zmap, gterm
+
+
+def _build_g_w(cfg: FusedConfig, c0, c1, c2, g_rgb, scal):
+    """Weight cotangent of the (linear) blend, laid out like z_map:
+    g_w[slot] = <colors_slot, g_rgb>, g_w[bg_row] = <bg_color, g_rgb>."""
+    g_w_slots = c0 * g_rgb[0] + c1 * g_rgb[1] + c2 * g_rgb[2]
+    g_w_bg = (scal[0, _S_BG] * g_rgb[0]
+              + scal[0, _S_BG + 1] * g_rgb[1]
+              + scal[0, _S_BG + 2] * g_rgb[2])
+    if cfg.bg_row < cfg.f_pad:
+        # Compacted layout: bg lives in a dead slot row (colors there are 0).
+        ridx = jax.lax.broadcasted_iota(jnp.int32, g_w_slots.shape, 0)
+        return jnp.where(ridx == cfg.bg_row, g_w_bg, g_w_slots)
+    return jnp.concatenate(
+        [g_w_slots, g_w_bg,
+         jnp.zeros((cfg.c_zpad - cfg.f_pad - 1, g_w_slots.shape[1]),
+                   jnp.float32)], axis=0)
 
 
 def _agg_stash(cfg: FusedConfig) -> bool:
@@ -522,7 +580,7 @@ def _mc_agg_forward_stash(cfg, zmap_full, gamma, s0, s1, pos, noise_ref):
         noise_ref[pl.ds(s, 1)] = n[None]
         return acc + _onehot_ge(zmap_full + gamma * n)
 
-    acc = jax.lax.fori_loop(0, cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full))
     return acc * (1.0 / cfg.s_agg)
 
 
@@ -531,7 +589,8 @@ def _mc_agg_grads_stashed(cfg, zmap_full, g_w, gamma, noise_ref):
     values to a fresh _draw_block replay)."""
     shape = zmap_full.shape
     cmask, phimask, phi_comp = _agg_masks(cfg, shape)
-    w0 = _onehot_ge(zmap_full) if cfg.agg_vr else jnp.zeros_like(zmap_full)
+    w0 = (_hard_onehot_rows(zmap_full) if cfg.agg_vr
+          else jnp.zeros_like(zmap_full))
 
     def body(s, carry):
         acc_z, acc_g = carry
@@ -548,8 +607,8 @@ def _mc_agg_grads_stashed(cfg, zmap_full, g_w, gamma, noise_ref):
         acc_g = acc_g + dot * (phi - 1.0)
         return acc_z, acc_g
 
-    acc_z, acc_g = jax.lax.fori_loop(
-        0, cfg.s_agg, body,
+    acc_z, acc_g = _sample_loop(
+        cfg.s_agg, body,
         (jnp.zeros(shape, jnp.float32),
          jnp.zeros((1, shape[1]), jnp.float32)))
     return acc_z / (cfg.s_agg * gamma), acc_g / (cfg.s_agg * gamma)
@@ -662,14 +721,7 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         elif cfg.agg_kind == "hard":
             weights, vjp2b = _hard_onehot_rows(zmap_full), None
         else:
-            g_w_slots = c0 * g_rgb[0] + c1 * g_rgb[1] + c2 * g_rgb[2]
-            g_w_bg = (scal[0, _S_BG] * g_rgb[0]
-                      + scal[0, _S_BG + 1] * g_rgb[1]
-                      + scal[0, _S_BG + 2] * g_rgb[2])
-            g_w = jnp.concatenate(
-                [g_w_slots, g_w_bg,
-                 jnp.zeros((cfg.c_zpad - cfg.f_pad - 1, cfg.p_tile),
-                           jnp.float32)], axis=0)
+            g_w = _build_g_w(cfg, c0, c1, c2, g_rgb, scal)
             weights, g_zmap, gamma_term = _mc_agg_fwd_grads(
                 cfg, zmap_full, g_w, gamma, seeds_ref[0, 2],
                 seeds_ref[0, 3], pos)
@@ -1317,6 +1369,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     f = int(meshes.max_faces)
     k = int(settings.faces_per_pixel)
     f_pad = _round_up(max(f, 8), 8)
+    f_real = f
     binned = False
     hw = settings.image_size * settings.image_size
     p_tile = min(1024, _round_up(hw, 128))
@@ -1334,6 +1387,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             return None
         binned = True
         f_pad = _round_up(m, 8)
+        f_real = f_pad     # bin-local slots: all rows are live candidates
         # Finest tile granularity: keeps the backward working set
         # (~ slots x pixels) inside VMEM and maximizes x-binning + skip
         # resolution.  (Semantics are p_tile-independent — the PRNG is
@@ -1383,6 +1437,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     return FusedConfig(
         image_size=settings.image_size,
         f_pad=f_pad,
+        f_real=f_real,
         k=k,
         p_tile=p_tile,
         blur_radius=float(settings.blur_radius),

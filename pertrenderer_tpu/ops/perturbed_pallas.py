@@ -210,6 +210,16 @@ def _onehot_max(z):
     return (z >= zmax).astype(jnp.float32)
 
 
+def _onehot_max_first(z):
+    """First-wins one-hot (torch.max scatter semantics, smoothagg.py:37-39)
+    — used for the VR baseline, whose input can carry exact ties."""
+    zmax = jnp.max(z, axis=0, keepdims=True)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    first = jnp.min(jnp.where(z >= zmax, ridx, jnp.int32(1 << 30)), axis=0,
+                    keepdims=True)
+    return (ridx == first).astype(jnp.float32)
+
+
 def _pa_mean_kernel(s0_ref, s1_ref, tile_ref, z_ref, gam_ref, out_ref, *,
                     S, noise_type):
     s0 = _tile_seed(s0_ref, tile_ref)
@@ -234,7 +244,7 @@ def _pa_grads_kernel(s0_ref, s1_ref, tile_ref, z_ref, g_ref, gam_ref,
     g = g_ref[:]
     gamma = gam_ref[0, 0]
     cmask = cmask_ref[:]                     # (C_pad, 1): 1 for real channels
-    w0 = _onehot_max(z) if variance_reduction else jnp.zeros_like(z)
+    w0 = _onehot_max_first(z) if variance_reduction else jnp.zeros_like(z)
 
     def body(s, carry):
         acc_z, acc_g = carry

@@ -75,7 +75,15 @@ def initialize(coordinator_address: Optional[str] = None,
         # TPU pod without explicit coordination env: let jax autodetect.
         try:
             jax.distributed.initialize()
-        except Exception:       # metadata incomplete — stay single-process
+        except Exception as e:  # metadata incomplete — stay single-process
+            import warnings
+
+            warnings.warn(
+                "jax.distributed.initialize() autodetection failed "
+                f"({e!r}); continuing single-process. On a real pod this "
+                "means N uncoordinated runs — set JAX_COORDINATOR_ADDRESS "
+                "/ JAX_NUM_PROCESSES / JAX_PROCESS_ID explicitly.",
+                stacklevel=2)
             return False
         _initialized = True
         return True

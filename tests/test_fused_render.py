@@ -163,7 +163,7 @@ def test_fused_estimator_stats():
     from scipy.stats import norm
 
     cfg = fr.FusedConfig(
-        image_size=16, f_pad=8, k=12, p_tile=256, blur_radius=0.0,
+        image_size=16, f_pad=8, f_real=8, k=12, p_tile=256, blur_radius=0.0,
         rast_kind="mc", rast_noise="gaussian", rast_vr=True, s_rast=64,
         agg_kind="mc", agg_noise="gaussian", agg_vr=True, s_agg=64,
         eps_bg=1e-10, shade="phong", light_kind="point", tex_mode="corner",

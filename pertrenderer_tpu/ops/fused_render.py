@@ -128,6 +128,8 @@ class FusedConfig:
     perspective_correct: bool
     interpret: bool
     binned: bool = False       # slots are bin-local face lists, not all faces
+    prob_ext: bool = False     # sample-axis sharding: coverage prob comes in
+                               # as a pmean'd input; fwd also emits weights
 
     @property
     def bg_row(self) -> int:
@@ -644,9 +646,19 @@ def _bg_image(cfg, scal):
     return jnp.concatenate(rows + [jnp.zeros((1, p), jnp.float32)], axis=0)
 
 
+def _bg_weights(cfg):
+    """Weights on a zero-coverage tile: the background one-hot."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.c_zpad, cfg.p_tile), 0)
+    return (rows == cfg.bg_row).astype(jnp.float32)
+
+
 def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                     fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
-                    out_ref, *, cfg):
+                    *rest, cfg):
+    if cfg.prob_ext:
+        prob_ref, out_ref, weights_ref = rest
+    else:
+        (out_ref,) = rest
     pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
@@ -658,13 +670,16 @@ def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         dist, z, c0, c1, c2, maskf = det1(
             rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref), scal)
 
-        if cfg.rast_kind == "mc":
-            prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
-                                        seeds_ref[0, 0], seeds_ref[0, 1],
-                                        pos)
+        if cfg.prob_ext:
+            prob = prob_ref[:]          # pmean'd across the sample axis
         else:
-            prob_raw = _make_det_rast(cfg)(dist, scal)
-        prob = prob_raw * maskf
+            if cfg.rast_kind == "mc":
+                prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
+                                            seeds_ref[0, 0], seeds_ref[0, 1],
+                                            pos)
+            else:
+                prob_raw = _make_det_rast(cfg)(dist, scal)
+            prob = prob_raw * maskf
 
         zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
         if cfg.agg_kind == "soft":
@@ -674,10 +689,18 @@ def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         else:
             weights = _mc_agg_forward(cfg, zmap_full, scal[0, _S_GAMMA],
                                       seeds_ref[0, 2], seeds_ref[0, 3], pos)
-        return _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
+        out = _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
+        return (out, weights) if cfg.prob_ext else out
 
-    out_ref[:] = jax.lax.cond(active_ref[0, 0, 0] > 0, full_pipeline,
-                              lambda _: _bg_image(cfg, scal), None)
+    def bg_only(_):
+        bg = _bg_image(cfg, scal)
+        return (bg, _bg_weights(cfg)) if cfg.prob_ext else bg
+
+    res = jax.lax.cond(active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+    if cfg.prob_ext:
+        out_ref[:], weights_ref[:] = res
+    else:
+        out_ref[:] = res
 
 
 def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
@@ -1009,17 +1032,33 @@ def _bin_face_ids_hier(cfg: FusedConfig, fv_ndc, validb, fz_min):
 
 
 def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
-                    active):
+                    active, prob=None):
     nt = _n_tiles(cfg)
+    in_specs = _common_specs(cfg)
+    args = [_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid,
+            scal]
+    out_specs = pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32)
+    if cfg.prob_ext:
+        in_specs = in_specs + [
+            pl.BlockSpec((cfg.f_pad, cfg.p_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)]
+        args.append(prob)
+        out_specs = (out_specs,
+                     pl.BlockSpec((cfg.c_zpad, cfg.p_tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((cfg.c_zpad, nt * cfg.p_tile),
+                                          jnp.float32))
     out = pl.pallas_call(
         partial(_forward_kernel, cfg=cfg),
         grid=(nt,),
-        in_specs=_common_specs(cfg),
-        out_specs=pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal)
+    )(*args)
     return out
 
 
@@ -1081,6 +1120,264 @@ def _fused_core_bwd(cfg, res, g):
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sample-axis-sharded fused path
+# ---------------------------------------------------------------------------
+#
+# Under shard_map with the MC sample axis on a mesh axis (SURVEY §2.5), each
+# device draws its own slice of the global sample sequence (seed offsets make
+# the union of device streams bit-equal to a single-device run with
+# S_total = D * S_local samples).  The estimators are sample means
+# (`/root/reference/randomras/smoothrast.py:36`, `smoothagg.py:41`), and the
+# render decomposes so that every cross-device combination point is a mean of
+# per-device partial means:
+#
+#   forward:   prob  = pmean(prob kernel)            [nonlinear z_map follows]
+#              image = pmean(fwd kernel w/ external prob)  [blend linear in w]
+#   backward:  g_zmap = pmean(agg-bwd kernel)        [local argmax replay]
+#              grads  = pmean(det-bwd kernel w/ external prob/weights/g_zmap)
+#
+# The det-bwd kernel's only sample-dependent term is the coverage score
+# coefficient, which multiplies *globally* pmean'd cotangents — so the pmean
+# of its outputs equals the folded single-device gradients exactly (modulo
+# float summation order).
+
+def _prob_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref, valid_ref,
+                 scal_ref, out_ref, *, cfg):
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+
+    def full_pipeline(_):
+        fv = fv_ndc_ref[:]
+        coords = [_col(fv, i) for i in range(9)]
+        w0, w1, w2, z, dist, inside, degen = _face_pixel_geometry(
+            px, py, *coords, cfg.clip_bary, cfg.perspective_correct)
+        cand = ((inside | (dist <= cfg.blur_radius)) & ~degen
+                & validb & (z > 0) & pixvalid)
+        maskf = cand.astype(jnp.float32)
+        prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
+                                    seeds_ref[0, 0], seeds_ref[0, 1], pos)
+        return prob_raw * maskf
+
+    out_ref[:] = jax.lax.cond(
+        active_ref[0, 0, 0] > 0, full_pipeline,
+        lambda _: jnp.zeros((cfg.f_pad, cfg.p_tile), jnp.float32), None)
+
+
+def _pallas_prob(cfg, fv_ndc, valid, scal, seeds, active):
+    nt = _n_tiles(cfg)
+    specs = _common_specs(cfg)
+    # tile ids, active, seeds, fv_ndc, valid, scal
+    in_specs = [specs[0], specs[1], specs[2], specs[3], specs[7], specs[8]]
+    return pl.pallas_call(
+        partial(_prob_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cfg.f_pad, cfg.p_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cfg.f_pad, nt * cfg.p_tile),
+                                       jnp.float32),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, seeds, fv_ndc, valid, scal)
+
+
+def _agg_bwd_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
+                    fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
+                    prob_ref, g_out_ref, gz_ref, gg_ref, *, cfg):
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+    g_rgba = g_out_ref[:]
+
+    def full_pipeline(_):
+        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+        dist, z, c0, c1, c2, maskf = det1(
+            fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:], scal)
+        prob = prob_ref[:]
+        zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
+        g_rgb = [g_rgba[c:c + 1] for c in range(3)]
+        g_w = _build_g_w(cfg, c0, c1, c2, g_rgb, scal)
+        g_zmap, gamma_term = _mc_agg_grads(
+            cfg, zmap_full, g_w, scal[0, _S_GAMMA], seeds_ref[0, 2],
+            seeds_ref[0, 3], pos)
+        return g_zmap, jnp.sum(gamma_term)
+
+    def bg_only(_):
+        return (jnp.zeros((cfg.c_zpad, cfg.p_tile), jnp.float32),
+                jnp.float32(0.0))
+
+    g_zmap, gterm = jax.lax.cond(active_ref[0, 0, 0] > 0, full_pipeline,
+                                 bg_only, None)
+    gz_ref[:] = g_zmap
+    first = tile_ref[0, 0, 0] == 0
+
+    @pl.when(first)
+    def _init():
+        gg_ref[:] = jnp.reshape(gterm, (1, 1))
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        gg_ref[:] = gg_ref[:] + jnp.reshape(gterm, (1, 1))
+
+
+def _pallas_agg_bwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+                    active, prob, g_out):
+    nt = _n_tiles(cfg)
+    pix = lambda c: pl.BlockSpec((c, cfg.p_tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_agg_bwd_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_common_specs(cfg) + [pix(cfg.f_pad), pix(4)],
+        out_specs=(pix(cfg.c_zpad), _const_spec((1, 1))),
+        out_shape=(jax.ShapeDtypeStruct((cfg.c_zpad, nt * cfg.p_tile),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal,
+      prob, g_out)
+
+
+def _det_bwd_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
+                    fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
+                    prob_ref, weights_ref, gz_ref, g_out_ref, g_ndc_ref,
+                    g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref, *, cfg):
+    pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
+                                                fv_ndc_ref)
+    scal = scal_ref[:]
+    g_rgba = g_out_ref[:]
+
+    def full_pipeline(_):
+        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+        (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
+            det1, fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+            scal)
+
+        sigma = scal[0, _S_SIGMA]
+        coeff = _mc_rast_coeff(cfg, -dist, sigma, seeds_ref[0, 0],
+                               seeds_ref[0, 1], pos)
+        prob = prob_ref[:]
+        _, vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
+        weights = weights_ref[:]
+        _, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2, scal)
+        _, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
+        g_zmap = gz_ref[:]
+        g_prob2, g_z, g_scal2 = vjp2(g_zmap)
+        g_prob_raw = (g_prob2 + g_prob3) * maskf
+
+        g_d = coeff * g_prob_raw
+        g_dist = -g_d
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+        g_scal_extra = jnp.where(cols == _S_SIGMA, jnp.sum(g_d), 0.0)
+
+        g_ndc, g_world, g_fn, g_tex, g_scal1 = vjp1(
+            (g_dist, g_z, g_c0, g_c1, g_c2, jnp.zeros_like(maskf)))
+        g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
+        return g_ndc, g_world, g_fn, g_tex, g_scal
+
+    def bg_only(_):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+        g_scal = jnp.zeros((1, _NS), jnp.float32)
+        for c in range(3):
+            g_scal = g_scal + jnp.where(cols == _S_BG + c,
+                                        jnp.sum(g_rgba[c:c + 1]), 0.0)
+        zf9 = jnp.zeros((cfg.f_pad, 9), jnp.float32)
+        return (zf9, zf9, zf9,
+                jnp.zeros((cfg.f_pad, cfg.tex_d), jnp.float32), g_scal)
+
+    g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+        active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+
+    first = tile_ref[0, 0, 0] == 0
+
+    @pl.when(first)
+    def _init():
+        g_ndc_ref[:] = g_ndc
+        g_world_ref[:] = g_world
+        g_fn_ref[:] = g_fn
+        g_tex_ref[:] = g_tex
+        g_scal_ref[:] = g_scal
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        g_ndc_ref[:] = g_ndc_ref[:] + g_ndc
+        g_world_ref[:] = g_world_ref[:] + g_world
+        g_fn_ref[:] = g_fn_ref[:] + g_fn
+        g_tex_ref[:] = g_tex_ref[:] + g_tex
+        g_scal_ref[:] = g_scal_ref[:] + g_scal
+
+
+def _pallas_det_bwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
+                    active, prob, weights, g_zmap, g_out):
+    nt = _n_tiles(cfg)
+    f, dt = cfg.f_pad, cfg.tex_d
+    acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
+                                     memory_space=pltpu.VMEM)
+    pix = lambda c: pl.BlockSpec((c, cfg.p_tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_det_bwd_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_common_specs(cfg) + [pix(f), pix(cfg.c_zpad),
+                                       pix(cfg.c_zpad), pix(4)],
+        out_specs=(acc((f, 9)), acc((f, 9)), acc((f, 9)), acc((f, dt)),
+                   acc((1, _NS))),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, 9), jnp.float32),
+            jax.ShapeDtypeStruct((f, dt), jnp.float32),
+            jax.ShapeDtypeStruct((1, _NS), jnp.float32),
+        ),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal,
+      prob, weights, g_zmap, g_out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_core_sharded(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal,
+                        seeds):
+    out, _ = _fcs_fwd(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal,
+                      seeds)
+    return out
+
+
+def _fcs_fwd(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
+    active = _active_tiles(cfg, fv_ndc, valid)
+    prob_local = _pallas_prob(cfg, fv_ndc, valid, scal, seeds, active)
+    prob = jax.lax.pmean(prob_local, axis)
+    out_local, weights_local = _pallas_forward(
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active,
+        prob=prob)
+    out = jax.lax.pmean(out_local, axis)
+    weights = jax.lax.pmean(weights_local, axis)
+    return out, (fv_ndc, fv_world, fn, tex, valid, scal, seeds, prob,
+                 weights)
+
+
+def _fcs_bwd(cfg, axis, res, g):
+    fv_ndc, fv_world, fn, tex, valid, scal, seeds, prob, weights = res
+    active = _active_tiles(cfg, fv_ndc, valid)
+    gz_local, gg_local = _pallas_agg_bwd(
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, prob, g)
+    g_zmap = jax.lax.pmean(gz_local, axis)
+    g_gamma = jax.lax.pmean(gg_local[0, 0], axis)
+    grads_local = _pallas_det_bwd(
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, prob,
+        weights, g_zmap, g)
+    g_ndc, g_world, g_fn, g_tex, g_scal = jax.tree.map(
+        lambda x: jax.lax.pmean(x, axis), grads_local)
+    cols = jnp.arange(_NS)[None, :]
+    g_scal = g_scal + jnp.where(cols == _S_GAMMA, g_gamma, 0.0)
+    g_seeds = np.zeros(seeds.shape, jax.dtypes.float0)
+    return (g_ndc, g_world, g_fn, g_tex, jnp.zeros_like(valid), g_scal,
+            g_seeds)
+
+
+_fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1361,9 +1658,18 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     agg_entry = _AGG_MAP.get(type(smoothagg).__name__)
     if rast_entry is None or agg_entry is None:
         return None
-    if getattr(smoothrast, "sample_axis", None) is not None:
+    # Sample-axis sharding (shard_map over the MC sample mesh axis): the
+    # sharded fused path covers the flat-mode MC/MC combinations — exactly
+    # the stochastic members of the experiment menu (eval.py:145-163).
+    # Both estimators must shard the same axis; other combinations fall
+    # back to the staged path, whose estimators pmean internally.
+    ax_r = getattr(smoothrast, "sample_axis", None)
+    ax_a = getattr(smoothagg, "sample_axis", None)
+    sample_axis = ax_r or ax_a
+    if sample_axis is not None and ax_r != ax_a:
         return None
-    if getattr(smoothagg, "sample_axis", None) is not None:
+    if sample_axis is not None and (rast_entry[0] != "mc"
+                                    or agg_entry[0] != "mc"):
         return None
 
     f = int(meshes.max_faces)
@@ -1372,7 +1678,8 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     f_real = f
     binned = False
     hw = settings.image_size * settings.image_size
-    p_tile = min(1024, _round_up(hw, 128))
+    p_tile = min(int(os.environ.get("PERTRENDERER_PTILE", "1024")),
+                 _round_up(hw, 128))
     # Flat mode is exact when every face can hold a slot (no top-K
     # truncation).  Larger meshes switch to bin-local face lists: slots are
     # the <= M faces overlapping each tile — the `max_faces_per_bin`
@@ -1385,6 +1692,8 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 MAX_BIN_SLOTS)
         if m < 8:
             return None
+        if sample_axis is not None:
+            return None    # sharded fused path is flat-mode only
         binned = True
         f_pad = _round_up(m, 8)
         f_real = f_pad     # bin-local slots: all rows are live candidates
@@ -1453,6 +1762,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         perspective_correct=bool(settings.perspective_correct),
         interpret=_fused_mode() == "interpret",
         binned=binned,
+        prob_ext=sample_axis is not None,
     )
 
 
@@ -1470,7 +1780,8 @@ def _key_words(key):
 
 
 def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
-                    smoothagg, blend_params, settings, key, shade):
+                    smoothagg, blend_params, settings, key, shade,
+                    sample_axis=None):
     """Build the kernel's tensor inputs (face tables, validity, packed
     scalars, seeds) — shared by the render and loss-and-grad entries."""
     from pertrenderer_tpu.textures import TexturesUV, TexturesVertex
@@ -1495,6 +1806,15 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         return jax.vmap(one)(jnp.arange(n))
     sr = batch_seeds(key_rast)                          # (N, 2)
     sa = batch_seeds(key_agg)
+    if sample_axis is not None:
+        # Device d draws global sample indices [d*S, (d+1)*S): the hash
+        # enters the sample index as ``seed0 + s * C`` (_hash_words), so an
+        # offset of d*S folds into seed0 exactly — the union of device
+        # streams is bit-equal to a single-device run with S_total samples.
+        c_mul = jnp.int32(-1640531527)
+        off = jax.lax.axis_index(sample_axis).astype(jnp.int32)
+        sr = sr.at[:, 0].add(off * jnp.int32(cfg.s_rast) * c_mul)
+        sa = sa.at[:, 0].add(off * jnp.int32(cfg.s_agg) * c_mul)
     seeds = jnp.concatenate(
         [sr, sa, jnp.zeros((n, 4), jnp.int32)], axis=1)[:, None, :]
 
@@ -1590,10 +1910,16 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 settings, shade)
     if cfg is None:
         return None
+    sample_axis = (getattr(smoothrast, "sample_axis", None)
+                   or getattr(smoothagg, "sample_axis", None))
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,
-                             key, shade)
-    out = jax.vmap(partial(_fused_core, cfg))(*inputs)
+                             key, shade, sample_axis=sample_axis)
+    if cfg.prob_ext:
+        out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
+            *inputs)
+    else:
+        out = jax.vmap(partial(_fused_core, cfg))(*inputs)
     n = meshes.batch_size
     hw = cfg.image_size * cfg.image_size
     rgba = out[:, :, :hw].reshape(n, 4, cfg.image_size, cfg.image_size)
@@ -1616,7 +1942,9 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
         return None
     cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 settings, shade)
-    if cfg is None:
+    if cfg is None or cfg.prob_ext:
+        # Sharded: the image loss needs the cross-device pmean'd image, so
+        # the caller renders via the sharded path and reduces in XLA.
         return None
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,

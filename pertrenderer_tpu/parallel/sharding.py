@@ -132,13 +132,36 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
 
 
 def dryrun_multichip(n_devices: int, image_size: int = 16,
-                     faces_per_pixel: int = 8, steps: int = 1) -> None:
+                     faces_per_pixel: int = 12, steps: int = 1) -> None:
     """Compile and run the FULL multi-chip training step on tiny shapes.
 
     Creates an ``n_devices`` mesh with real data/sample shardings, builds the
     flagship renderer (GaussianRast + GaussianAgg with the sample axis mapped
     onto the mesh), jits the sharded train step, and executes ``steps`` steps.
+
+    With ``faces_per_pixel >= 12`` (the cube's face count) the render takes
+    the *fused sharded* path (ops/fused_render.py `_fused_core_sharded`);
+    on a CPU host the Pallas kernels run through the interpreter so the
+    driver's virtual-device dryrun exercises the same code path a TPU slice
+    would.  Smaller K falls back to the staged XLA path.
     """
+    import os
+
+    restore = object()
+    prev = os.environ.get("PERTRENDERER_FUSED", restore)
+    if jax.default_backend() == "cpu" and prev is restore:
+        os.environ["PERTRENDERER_FUSED"] = "interpret"
+    try:
+        _dryrun_multichip(n_devices, image_size, faces_per_pixel, steps)
+    finally:
+        if prev is restore:
+            os.environ.pop("PERTRENDERER_FUSED", None)
+        else:
+            os.environ["PERTRENDERER_FUSED"] = prev
+
+
+def _dryrun_multichip(n_devices: int, image_size: int,
+                      faces_per_pixel: int, steps: int) -> None:
     mesh = build_mesh(n_devices)
     n_data = mesh.shape[DATA_AXIS]
     batch = n_data  # one problem per data-axis slice

@@ -102,6 +102,107 @@ def test_sample_sharding_exact_equivalence():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_fused_sample_sharding_exact_equivalence(monkeypatch):
+    """The FULL fused render under sample-axis sharding == a single-device
+    folded run with S_total = n_dev * S_local samples — exact (<=1e-6), for
+    the image AND the pose/sigma/gamma/alpha gradients.
+
+    The sharded fused path offsets each device's hash-PRNG sample indices so
+    the union of device streams is bit-equal to the folded run, pmeans the
+    coverage probabilities before the (nonlinear) z_map, and pmeans the
+    blend/backward terms at their linear composition points
+    (ops/fused_render.py `_fused_core_sharded`)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    import pertrenderer_tpu as pt
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    n_dev, s_local = 4, 2
+    devices = np.asarray(jax.devices()[:n_dev]).reshape(1, n_dev)
+    mesh = Mesh(devices, (sharding.DATA_AXIS, sharding.SAMPLE_AXIS))
+
+    scene_mesh = pt.load_cube().scale_verts(2.0)
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-2, 5e-1
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    # faces_per_pixel >= max_faces so the fused path runs in flat mode (the
+    # sharded fused path is flat-only; smaller K would fall back to staged).
+    settings = pt.RasterizationSettings(image_size=16, blur_radius=blur,
+                                        faces_per_pixel=16)
+    key = jax.random.PRNGKey(7)
+    target = jnp.linspace(0.0, 1.0, 16 * 16 * 3).reshape(1, 16, 16, 3)
+
+    def build(nb, axis):
+        return pt.MeshRenderer.create(
+            rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                                raster_settings=settings),
+            shader=pt.RandomPhongShader.create(
+                cameras=cameras, lights=lights,
+                blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                            background_color=(0., 0., 0.)),
+                smoothrast=pt.GaussianRast.create(sigma=sigma, nb_samples=nb,
+                                                  sample_axis=axis),
+                smoothagg=pt.GaussianAgg.create(gamma=gamma, nb_samples=nb,
+                                                sample_axis=axis)))
+
+    def make_loss(renderer):
+        def loss(log_rot, sig, gam, alp):
+            rr = renderer.replace(shader=renderer.shader.update_smoothing(
+                sigma=sig, gamma=gam, alpha=alp))
+            rot = so3_exp_map(log_rot)
+            pred = scene_mesh.update_padded(
+                Rotate(rot).transform_points(scene_mesh.verts_padded()))
+            images = rr(pred, key=key, cameras=cameras, lights=lights)
+            return jnp.mean((images[..., :3] - target) ** 2), images
+        return loss
+
+    args = (0.1 * jnp.ones((1, 3)), jnp.asarray(sigma), jnp.asarray(gamma),
+            jnp.asarray(1.0))
+
+    sharded = build(s_local, sharding.SAMPLE_AXIS)
+
+    # Guard against a silent fall-back to the staged path: the plan must be
+    # fused flat-mode for the folded run and prob_ext for the sharded one.
+    from pertrenderer_tpu.ops import fused_render as fr
+    from pertrenderer_tpu.lights import Materials
+    sh = sharded.shader
+    cfg_sh = fr._plan(scene_mesh, cameras, lights, Materials.create(),
+                      sh.smoothrast, sh.smoothagg, settings, "phong")
+    assert cfg_sh is not None and cfg_sh.prob_ext and not cfg_sh.binned
+    fo = build(n_dev * s_local, None).shader
+    cfg_fo = fr._plan(scene_mesh, cameras, lights, Materials.create(),
+                      fo.smoothrast, fo.smoothagg, settings, "phong")
+    assert cfg_fo is not None and not cfg_fo.prob_ext and not cfg_fo.binned
+
+    def run_sharded(*a):
+        return jax.value_and_grad(make_loss(sharded), argnums=(0, 1, 2, 3),
+                                  has_aux=True)(*a)
+
+    (l_sh, img_sh), g_sh = jax.jit(jax.shard_map(
+        run_sharded, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=((P(), P()), (P(), P(), P(), P())),
+        check_vma=False))(*args)
+
+    # Folded single-device reference on the flat fused path.
+    folded = build(n_dev * s_local, None)
+    (l_1, img_1), g_1 = jax.jit(jax.value_and_grad(
+        make_loss(folded), argnums=(0, 1, 2, 3), has_aux=True))(*args)
+
+    np.testing.assert_allclose(np.asarray(img_sh), np.asarray(img_1),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(l_sh), float(l_1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sh[0]), np.asarray(g_1[0]),
+                               atol=1e-6 * max(1.0,
+                                               np.abs(g_1[0]).max()))
+    for a, b in zip(g_sh[1:], g_1[1:]):
+        np.testing.assert_allclose(float(a), float(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_sample_sharding_matches_single_device():
     """pmean of per-device sample means == single-device mean over all
     samples, given matching noise streams: check the sharded estimator is

@@ -86,7 +86,35 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
     return make
 
 
+def check_prng_identity():
+    """Compiled-vs-interpreter PRNG bit-identity: run the probe kernel
+    COMPILED on this chip and compare bit-exactly against the committed
+    interpreter-mode goldens (tests/goldens/prng_goldens.npz — the stream
+    the CPU test suite certifies).  Records the result in the JSON line."""
+    import os
+
+    from pertrenderer_tpu.ops import fused_render as fr
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "goldens", "prng_goldens.npz")
+    try:
+        ref = np.load(path)
+        for nt in ("gaussian", "cauchy"):
+            got = np.asarray(fr.prng_probe(nt, interpret=False))
+            if not np.array_equal(got, ref[nt]):
+                print(f"PRNG identity FAILED for {nt}: max diff "
+                      f"{np.abs(got - ref[nt]).max()}", file=sys.stderr)
+                return False
+        print("PRNG compiled-vs-interpreter identity: OK (bit-exact)",
+              file=sys.stderr)
+        return True
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"PRNG identity check errored: {e!r}", file=sys.stderr)
+        return False
+
+
 def main():
+    prng_ok = check_prng_identity()
     make = build_scan()
     x0 = jnp.zeros((1, 3))
     k0 = jax.random.PRNGKey(0)
@@ -108,6 +136,7 @@ def main():
         "value": round(renders_per_sec, 2),
         "unit": "renders/sec",
         "vs_baseline": round(renders_per_sec / 5000.0, 4),
+        "prng_compiled_matches_interpreter": prng_ok,
     }))
 
 

@@ -422,7 +422,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
             "ema": list(ema), "sigma": jnp.asarray(sig),
             "gamma": jnp.asarray(gam), "alpha": jnp.asarray(alp),
             "nb_samples": np.int64(renderer.shader.get_nb_samples()),
-            "blur": np.float64(renderer.rasterizer.raster_settings.blur_radius),
+            "blur": np.float64(float(renderer.rasterizer.blur)),
             "lr": np.float64(lr), "step": np.int64(step_idx),
             "losses": np.concatenate(losses) if losses else np.zeros(0),
             "gnorms": np.concatenate(gnorms) if gnorms else np.zeros(0),
@@ -432,13 +432,11 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     peak_memory_mb = [None]  # max XLA-reported footprint across segments
 
     def run_segment(n_steps, carry, seg_keys):
-        # Annealing changes the MC sample count AND blur_radius, both
-        # trace-time constants (blur is static RasterizationSettings
-        # metadata): all must key the compiled-scan cache, or a later
-        # anneal that only shrinks blur (S capped at 128) would call a
-        # stale program with mismatching pytree metadata.
-        sig = (n_steps, carry[5].shader.get_nb_samples(),
-               carry[5].rasterizer.raster_settings.blur_radius)
+        # Annealing changes the MC sample count (a trace-time constant:
+        # the sample loops unroll over S) and blur_radius (a *traced*
+        # rasterizer leaf since the blur-override change — no recompile).
+        # Only (length, S) key the compiled-scan cache.
+        sig = (n_steps, carry[5].shader.get_nb_samples())
         if sig not in scan_fn_cache:
             from pertrenderer_tpu.utils.artifacts import (
                 compiled_peak_memory_mb)
@@ -672,8 +670,7 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                  "sigma": jnp.asarray(sig_), "gamma": jnp.asarray(gam_),
                  "alpha": jnp.asarray(alp_),
                  "nb_samples": np.int64(renderer.shader.get_nb_samples()),
-                 "blur": np.float64(
-                     renderer.rasterizer.raster_settings.blur_radius),
+                 "blur": np.float64(float(renderer.rasterizer.blur)),
                  "lr": np.float64(lr), "step": np.int64(step_idx),
                  "losses": np.concatenate(losses) if losses else np.zeros(0)}
         state.update({f"param_{k}": v for k, v in params.items()})
@@ -690,8 +687,7 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         if max_segments is not None and segments_run >= max_segments:
             break
         segments_run += 1
-        sig = (n_steps, renderer.shader.get_nb_samples(),
-               renderer.rasterizer.raster_settings.blur_radius)
+        sig = (n_steps, renderer.shader.get_nb_samples())
         if sig not in scan_cache:
             step = make_step(opt)
             scan_cache[sig] = jax.jit(

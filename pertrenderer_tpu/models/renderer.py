@@ -27,12 +27,19 @@ __all__ = ["MeshRasterizer", "MeshRenderer"]
 
 @struct.dataclass
 class MeshRasterizer:
-    """Projects vertices through the camera and rasterizes to Fragments."""
+    """Projects vertices through the camera and rasterizes to Fragments.
+
+    ``blur_override`` is a *traced* pytree leaf: annealing updates the blur
+    radius through it (``update_blur``) without changing the static
+    ``raster_settings``, so one compiled program serves every blur value
+    (the radius only enters data comparisons, never shapes).
+    """
 
     cameras: Optional[PerspectiveCameras] = None
     raster_settings: RasterizationSettings = struct.field(
         pytree_node=False, default_factory=RasterizationSettings
     )
+    blur_override: Optional[Any] = None
 
     @classmethod
     def create(cls, cameras=None, raster_settings=None):
@@ -42,12 +49,21 @@ class MeshRasterizer:
                              else RasterizationSettings()),
         )
 
+    @property
+    def blur(self):
+        """The effective blur radius (traced override, else the static
+        settings value)."""
+        if self.blur_override is not None:
+            return self.blur_override
+        return self.raster_settings.blur_radius
+
     def __call__(self, meshes, cameras=None, **kwargs) -> Fragments:
         cameras = cameras if cameras is not None else self.cameras
         if cameras is None:
             raise ValueError("Cameras must be specified either at "
                              "initialization or in the forward pass")
-        return rasterize_meshes(meshes, cameras, self.raster_settings)
+        return rasterize_meshes(meshes, cameras, self.raster_settings,
+                                blur_radius=self.blur_override)
 
     def planar(self, meshes, cameras=None):
         """Channel-major fragments — the hot path (no stacked bary array)."""
@@ -55,18 +71,17 @@ class MeshRasterizer:
         if cameras is None:
             raise ValueError("Cameras must be specified either at "
                              "initialization or in the forward pass")
-        return rasterize_planar(meshes, cameras, self.raster_settings)
+        return rasterize_planar(meshes, cameras, self.raster_settings,
+                                blur_radius=self.blur_override)
 
-    def update_blur(self, blur_radius: float) -> "MeshRasterizer":
+    def update_blur(self, blur_radius) -> "MeshRasterizer":
         """Functional analog of mutating ``raster_settings.blur_radius``
-        during annealing (`/root/reference/experiments/eval.py:390`)."""
-        import dataclasses
+        during annealing (`/root/reference/experiments/eval.py:390`).
+        Sets the traced override — no retrace/recompile on blur changes."""
+        import jax.numpy as jnp
 
-        return self.replace(
-            raster_settings=dataclasses.replace(
-                self.raster_settings, blur_radius=float(blur_radius)
-            )
-        )
+        return self.replace(blur_override=jnp.asarray(blur_radius,
+                                                      jnp.float32))
 
 
 @struct.dataclass
@@ -125,8 +140,9 @@ class MeshRenderer:
         from pertrenderer_tpu.ops import fused_render
 
         (cameras, lights, materials, sr, sa, blend, settings), shade = args
-        return fused_render.try_render(meshes, cameras, lights, materials,
-                                       sr, sa, blend, settings, key, shade)
+        return fused_render.try_render(
+            meshes, cameras, lights, materials, sr, sa, blend, settings,
+            key, shade, blur_override=self.rasterizer.blur_override)
 
     def render_loss(self, meshes, target, key=None, loss_kind="l2_rgb",
                     **kwargs):
@@ -159,7 +175,8 @@ class MeshRenderer:
                 args
             out = fused_render.try_render_loss(
                 meshes, cameras, lights, materials, sr, sa, blend, settings,
-                key, shade, target, loss_kind)
+                key, shade, target, loss_kind,
+                blur_override=self.rasterizer.blur_override)
             if out is not None:
                 return out
         images = self(meshes, key=key, **kwargs)

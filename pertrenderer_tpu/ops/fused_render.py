@@ -93,7 +93,8 @@ _S_ZFAR = 29
 _S_SIGMA = 30     # smoothrast.sigma
 _S_GAMMA = 31     # smoothagg.gamma
 _S_ALPHA = 32     # smoothagg.alpha
-_NS = 33
+_S_BLUR = 33      # blur radius (traced: annealing never recompiles)
+_NS = 34
 
 
 def _round_up(x: int, m: int) -> int:
@@ -201,6 +202,30 @@ def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos):
     raise ValueError(f"fused kernel: noise {noise_type!r} unsupported")
 
 
+def prng_probe(noise_type: str = "gaussian", s: int = 4, c: int = 16,
+               p: int = 256, interpret: bool = False):
+    """Draw ``s`` (c, p) noise blocks through a real pallas_call — the
+    bit-identity probe between the Pallas interpreter (what the CPU test
+    suite exercises) and the compiled Mosaic kernel (what the chip runs).
+    Goldens live in tests/goldens/prng_goldens.npz; bench.py re-checks the
+    compiled output against them on every driver run."""
+
+    def kernel(seed_ref, out_ref):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) + 7
+        for i in range(s):
+            out_ref[i] = _draw_block(noise_type, seed_ref[0, 0],
+                                     seed_ref[0, 1], i, c, p, pos)
+
+    seeds = jnp.asarray([[1234567, -987654]], jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, c, p), jnp.float32),
+        interpret=interpret,
+    )(seeds)
+
+
 def _score(noise, noise_type: str):
     if noise_type == "gaussian":
         return noise
@@ -245,7 +270,7 @@ def _make_det1(cfg: FusedConfig, px, py, pixvalid, validb):
         coords = [_col(fv_ndc, i) for i in range(9)]
         w0, w1, w2, z, dist, inside, degen = _face_pixel_geometry(
             px, py, *coords, cfg.clip_bary, cfg.perspective_correct)
-        cand = ((inside | (dist <= cfg.blur_radius)) & ~degen
+        cand = ((inside | (dist <= scal[0, _S_BLUR])) & ~degen
                 & validb & (z > 0) & pixvalid)
         maskf = jax.lax.stop_gradient(cand.astype(jnp.float32))
 
@@ -253,6 +278,8 @@ def _make_det1(cfg: FusedConfig, px, py, pixvalid, validb):
         if cfg.tex_mode == "corner":
             texel = [(w0 * _col(tex, c) + w1 * _col(tex, 3 + c)
                       + w2 * _col(tex, 6 + c)) * maskf for c in range(3)]
+        elif cfg.atlas_r == 1:   # one texel per face: plain masked read
+            texel = [maskf * _col(tex, c) for c in range(3)]
         else:  # atlas: (F_pad, R*R*3), cell from quantized (w1, w2)
             r = cfg.atlas_r
             xi = jnp.clip((jnp.clip(w1, 0.0, 1.0) * r).astype(jnp.int32),
@@ -885,15 +912,15 @@ def _tile_y_ranges(cfg: FusedConfig):
     return y_hi, y_lo
 
 
-def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb):
+def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
     """(n_tiles, F) conservative face/tile overlap from bboxes expanded by
     the blur band.  Tiles spanning whole pixel rows test y only; sub-row
     tiles (p_tile divides the image width — the high-resolution regime)
-    also test x, which is 2-D binning."""
+    also test x, which is 2-D binning.  ``blur`` may be traced."""
     h = w = cfg.image_size
     p, nt = cfg.p_tile, _n_tiles(cfg)
     fv_ndc = jax.lax.stop_gradient(fv_ndc)
-    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
+    band = jnp.sqrt(jnp.maximum(blur, 0.0))
     ys = fv_ndc[:, 1::3]                                  # (F, 3)
     fy_min = jnp.min(ys, axis=1) - band
     fy_max = jnp.max(ys, axis=1) + band
@@ -918,7 +945,7 @@ def _face_validb(fv_ndc, valid_col):
     return (valid_col > 0.5) & (jnp.max(zs, axis=1) > 0)
 
 
-def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
+def _active_tiles(cfg: FusedConfig, fv_ndc, valid, blur):
     """Per-tile activity bits — conservative, so inactive tiles provably
     have zero candidate coverage and the kernels take the background fast
     path.  (n_tiles, 1, 1) int32."""
@@ -926,109 +953,216 @@ def _active_tiles(cfg: FusedConfig, fv_ndc, valid):
         # valid: (n_tiles, M, 1) bin-local slot validity.
         return jnp.any(valid[:, :, 0] > 0.5, axis=1).astype(
             jnp.int32).reshape(-1, 1, 1)
-    overlap = _tile_face_overlap(cfg, fv_ndc, _face_validb(fv_ndc,
-                                                           valid[:, 0]))
+    overlap = _tile_face_overlap(cfg, fv_ndc,
+                                 _face_validb(fv_ndc, valid[:, 0]), blur)
     return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(-1, 1, 1)
 
 
 # Above this face count the per-tile top_k over the full (n_tiles, F)
 # score matrix dominates the step (275 ms at 82k faces / 512^2); switch to
-# coarse-to-fine selection.
+# y-sorted contiguous-range selection (see _binned_tables_sorted).
 _COARSE_THRESHOLD = 8192
-_COARSE_GROUP = 16        # tiles per coarse bin
-_COARSE_M = 4096          # candidate faces per coarse bin
+_RANGE_GROUP = 16         # tiles per range group
+_RANGE_MAX = 4096         # face rows per group's contiguous slice
 
 
-def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col):
+def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col, blur):
     """Bin-local face lists: the M *nearest* faces overlapping each tile
     (by minimum corner depth), -1 padded — the `max_faces_per_bin` layout
     of the reference's binned kernel
     (`/root/reference/experiments/eval.py:139`).  When a tile overflows M,
     the farthest faces are dropped — the same degradation direction as the
     reference's keep-K-nearest fragment truncation (occluded fragments
-    carry exponentially small blend weight).
+    carry exponentially small blend weight); overflow is *detected* (see
+    RasterizationSettings.bin_overflow) via the returned per-tile counts.
 
-    For meshes past _COARSE_THRESHOLD faces, selection is hierarchical:
-    groups of _COARSE_GROUP tiles first pick their _COARSE_M nearest
-    overlapping faces from the full table (16x fewer big-row top_k sorts),
-    then each tile selects its nearest M from the group's candidates —
-    identical results whenever no coarse bin overflows."""
+    Returns (ids (nt, M), counts (nt,) candidate faces per tile).
+    """
     m = cfg.f_pad
     fv_ndc = jax.lax.stop_gradient(fv_ndc)
     validb = _face_validb(fv_ndc, valid_col)
     f = fv_ndc.shape[0]
     fz_min = jnp.min(fv_ndc[:, 2::3], axis=1)            # (F,)
-    if f > _COARSE_THRESHOLD:
-        return _bin_face_ids_hier(cfg, fv_ndc, validb, fz_min)
-    overlap = _tile_face_overlap(cfg, fv_ndc, validb)
+    overlap = _tile_face_overlap(cfg, fv_ndc, validb, blur)
+    counts = jnp.sum(overlap.astype(jnp.int32), axis=1)  # (nt,)
     score = jnp.where(overlap, -fz_min[None, :], -jnp.inf)
     top, idx = jax.lax.top_k(score, min(m, f))
     out = jnp.where(jnp.isfinite(top), idx.astype(jnp.int32), -1)
     if m > f:
         out = jnp.pad(out, ((0, 0), (0, m - f)), constant_values=-1)
-    return out                                            # (nt, M)
+    return out, counts                                    # (nt, M), (nt,)
 
 
-def _bin_face_ids_hier(cfg: FusedConfig, fv_ndc, validb, fz_min):
+def _check_bin_overflow(cfg: FusedConfig, settings, max_tile_count,
+                        max_range):
+    """Runtime capacity check for binned mode (never silent truncation):
+    ``settings.bin_overflow`` is 'warn' (default — one warning per
+    occurrence), 'error' (raise), or 'allow' (skip the check entirely —
+    the documented nearest-M approximation, no host callback in the
+    step)."""
+    mode = getattr(settings, "bin_overflow", "warn")
+    if mode == "allow":
+        return
+
+    m = cfg.f_pad
+
+    def cb(mt, mr):
+        import warnings
+
+        msgs = []
+        if int(mt) > m:
+            msgs.append(
+                f"a tile has {int(mt)} candidate faces > {m} bin slots "
+                "(farthest faces dropped)")
+        if mr is not None and int(mr) > _RANGE_MAX:
+            msgs.append(
+                f"a y-sorted group range holds {int(mr)} faces > "
+                f"{_RANGE_MAX} (range clamped)")
+        if not msgs:
+            return
+        msg = ("binned fused render capacity exceeded: " + "; ".join(msgs)
+               + ". Results deviate from the exact top-K semantics; raise "
+               "max_faces_per_bin/image tiling or use "
+               "RasterizationSettings(bin_overflow='allow') to accept.")
+        if mode == "error":
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
+
+    if max_range is None:
+        jax.debug.callback(lambda mt: cb(mt, None), max_tile_count)
+    else:
+        jax.debug.callback(cb, max_tile_count, max_range)
+
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """``x[perm]`` for a permutation, whose backward is the *gather*
+    ``g[inv_perm]`` instead of XLA's scatter-add (a TPU scalar loop)."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], (perm, inv_perm)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv_perm = res
+    return g[inv_perm], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _binned_tables_sorted(cfg: FusedConfig, merged, fv_ndc, valid_col,
+                          blur):
+    """Y-sorted contiguous-range binning for high-poly meshes (NOTES.md
+    round-3 blueprint): faces are argsorted once by blur-expanded bbox
+    y-min, so each group of _RANGE_GROUP tiles draws its candidates from a
+    CONTIGUOUS slice [s_g, s_g + _RANGE_MAX) of the sorted table.  Tables
+    reach the per-tile layout via cheap dynamic slices + the one-hot-matmul
+    gather (MXU) against each <=4096-row group slice — no scalar gather of
+    (n_tiles x M) rows from the full face table, forward or backward (the
+    permutation's VJP is a gather by the inverse permutation; the slice
+    VJPs are dynamic-update-slice adds; the one-hot VJP is a transposed
+    matmul).
+
+    Selection semantics match the direct per-tile nearest-M top_k whenever
+    no group range overflows _RANGE_MAX (detected via returned counts).
+
+    Returns (tiles (nt, M, D), ids (nt, M), counts (nt,), max_range ()).
+    """
     h = w = cfg.image_size
     p, nt = cfg.p_tile, _n_tiles(cfg)
     m = cfg.f_pad
-    g = _COARSE_GROUP
+    g = _RANGE_GROUP
     ng = -(-nt // g)
-    mc = min(_COARSE_M, fv_ndc.shape[0])
-    band = float(np.sqrt(max(cfg.blur_radius, 0.0)))
+    f = fv_ndc.shape[0]
+    rmax = min(_RANGE_MAX, _round_up(f, 8))
+    band = jnp.sqrt(jnp.maximum(blur, 0.0))
 
-    ys = fv_ndc[:, 1::3]
-    xs = fv_ndc[:, 0::3]
-    fy_min = jnp.min(ys, axis=1) - band                  # (F,)
-    fy_max = jnp.max(ys, axis=1) + band
-    fx_min = jnp.min(xs, axis=1) - band
-    fx_max = jnp.max(xs, axis=1) + band
+    fv_s = jax.lax.stop_gradient(fv_ndc)
+    validb = _face_validb(fv_ndc, valid_col)
+    ys = fv_s[:, 1::3]
+    xs = fv_s[:, 0::3]
+    lo = jnp.min(ys, axis=1) - band                      # (F,)
+    hi = jnp.max(ys, axis=1) + band
+    xlo = jnp.min(xs, axis=1) - band
+    xhi = jnp.max(xs, axis=1) + band
+    fz = jnp.min(fv_s[:, 2::3], axis=1)
 
-    # Tile and coarse-group NDC y spans (y decreases with pixel row).
+    key = jnp.where(validb, lo, np.inf)                  # invalid sort last
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+    sk = key[perm]
+    maxext = jnp.max(jnp.where(validb, hi - lo, 0.0))
+
+    # Group y spans from the tile spans (y decreases with pixel row).
     y_hi_t, y_lo_t = _tile_y_ranges(cfg)                 # (nt,)
-    pad = ng * g - nt
-    y_hi_p = jnp.pad(y_hi_t, (0, pad), constant_values=-np.inf)
-    y_lo_p = jnp.pad(y_lo_t, (0, pad), constant_values=np.inf)
-    y_hi_g = jnp.max(y_hi_p.reshape(ng, g), axis=1)      # (ng,)
-    y_lo_g = jnp.min(y_lo_p.reshape(ng, g), axis=1)
+    pad_t = ng * g - nt
+    y_hi_g = jnp.max(jnp.pad(y_hi_t, (0, pad_t),
+                             constant_values=-np.inf).reshape(ng, g), axis=1)
+    y_lo_g = jnp.min(jnp.pad(y_lo_t, (0, pad_t),
+                             constant_values=np.inf).reshape(ng, g), axis=1)
 
-    # Stage 1: nearest-Mc faces overlapping each coarse group.
-    overlap_g = ((fy_min[None, :] <= y_hi_g[:, None])
-                 & (fy_max[None, :] >= y_lo_g[:, None])
-                 & validb[None, :])
-    score_g = jnp.where(overlap_g, -fz_min[None, :], -jnp.inf)
-    topv, cids = jax.lax.top_k(score_g, mc)              # (ng, Mc)
-    cvalid = jnp.isfinite(topv)
-    cids = jnp.where(cvalid, cids.astype(jnp.int32), -1)
+    # Candidate range per group: lo <= y_hi_g  and  hi >= y_lo_g
+    # (hi = lo + ext <= lo + maxext bounds the start).
+    e_g = jnp.searchsorted(sk, y_hi_g, side="right")     # (ng,)
+    s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left")
+    range_counts = jnp.maximum(e_g - s_g, 0)
+    max_range = jnp.max(range_counts)
 
-    # Candidate bbox/depth columns, one row-gather from a stacked table.
-    cols = jnp.stack([fy_min, fy_max, fx_min, fx_max, fz_min], axis=1)
-    cand = cols[jnp.maximum(cids, 0)]                    # (ng, Mc, 5)
-    c_fy_min = jnp.where(cvalid, cand[..., 0], np.inf)
-    c_fy_max = jnp.where(cvalid, cand[..., 1], -np.inf)
-    c_fx_min = jnp.where(cvalid, cand[..., 2], np.inf)
-    c_fx_max = jnp.where(cvalid, cand[..., 3], -np.inf)
-    c_fz = cand[..., 4]
+    f_rows = max(_round_up(f, 8), rmax)
+    cs = jnp.clip(s_g, 0, f_rows - rmax)                 # clamped starts
 
-    # Stage 2: per tile, nearest-M among its group's candidates.
-    def rep(a):                                          # (ng, Mc) -> (nt, Mc)
+    # Per-group bbox/depth column slices of the sorted order.  Rows outside
+    # the true range fail the overlap test by construction (rows before s_g
+    # have hi < y_lo_g; rows past e_g have lo > y_hi_g; invalid rows carry
+    # +inf sentinels), so the clamped window needs no extra masking.
+    cols = jnp.stack([lo, hi, xlo, xhi, fz], axis=1)[perm]
+    sentinel = jnp.asarray([np.inf, -np.inf, np.inf, -np.inf, np.inf],
+                           jnp.float32)
+    cols = jnp.concatenate(
+        [cols, jnp.broadcast_to(sentinel, (f_rows - f, 5))], axis=0)
+    cslices = jnp.stack([
+        jax.lax.dynamic_slice(cols, (cs[i], 0), (rmax, 5))
+        for i in range(ng)])                             # (ng, rmax, 5)
+
+    def rep(a):                                          # (ng, rmax) -> (nt, rmax)
         return jnp.repeat(a, g, axis=0)[:nt]
-    overlap_t = ((rep(c_fy_min) <= y_hi_t[:, None])
-                 & (rep(c_fy_max) >= y_lo_t[:, None]))
+    overlap_t = ((rep(cslices[..., 0]) <= y_hi_t[:, None])
+                 & (rep(cslices[..., 1]) >= y_lo_t[:, None]))
     if p < w and w % p == 0:
         c0 = (np.arange(nt) * p) % w
         x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
         x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + p - 1)) / w, jnp.float32)
-        overlap_t = overlap_t & ((rep(c_fx_min) <= x_hi[:, None])
-                                 & (rep(c_fx_max) >= x_lo[:, None]))
-    score_t = jnp.where(overlap_t, -rep(c_fz), -jnp.inf)
-    topv2, pos2 = jax.lax.top_k(score_t, min(m, mc))     # (nt, M)
-    picked = jnp.take_along_axis(rep(cids), pos2, axis=1)
-    out = jnp.where(jnp.isfinite(topv2), picked, -1)
-    if m > mc:
-        out = jnp.pad(out, ((0, 0), (0, m - mc)), constant_values=-1)
-    return out                                            # (nt, M)
+        overlap_t = overlap_t & ((rep(cslices[..., 2]) <= x_hi[:, None])
+                                 & (rep(cslices[..., 3]) >= x_lo[:, None]))
+    counts = jnp.sum(overlap_t.astype(jnp.int32), axis=1)
+    score_t = jnp.where(overlap_t, -rep(cslices[..., 4]), -jnp.inf)
+    topv, pos = jax.lax.top_k(score_t, min(m, rmax))     # (nt, M)
+    local = jnp.where(jnp.isfinite(topv), pos.astype(jnp.int32), -1)
+    if m > rmax:
+        local = jnp.pad(local, ((0, 0), (0, m - rmax)), constant_values=-1)
+
+    # Tables: permute -> pad -> per-group slices -> one-hot MXU gather.
+    from pertrenderer_tpu.ops.gather import take_rows
+
+    d = merged.shape[1]
+    merged_s = _permute_rows(merged, perm, inv_perm)
+    merged_s = jnp.concatenate(
+        [merged_s, jnp.zeros((f_rows - f, d), merged.dtype)], axis=0)
+    gtabs = jnp.stack([
+        jax.lax.dynamic_slice(merged_s, (cs[i], 0), (rmax, d))
+        for i in range(ng)])                             # (ng, rmax, D)
+    local_pad = jnp.pad(local, ((0, ng * g - nt), (0, 0)),
+                        constant_values=-1)
+    tiles = jax.vmap(take_rows)(gtabs, local_pad.reshape(ng, g * m))
+    tiles = tiles.reshape(ng * g, m, d)[:nt]             # (nt, M, D)
+
+    # Global ids (diagnostics / validity): window start + local position.
+    ids = jnp.where(local >= 0, cs[
+        jnp.minimum(jnp.arange(nt) // g, ng - 1)][:, None] + local, -1)
+    return tiles, ids, counts, max_range
 
 
 def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
@@ -1099,7 +1233,7 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_core(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
-    active = _active_tiles(cfg, fv_ndc, valid)
+    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     return _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal,
                            seeds, active)
 
@@ -1111,7 +1245,7 @@ def _fused_core_fwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
 
 def _fused_core_bwd(cfg, res, g):
     fv_ndc, fv_world, fn, tex, valid, scal, seeds = res
-    active = _active_tiles(cfg, fv_ndc, valid)
+    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     g_ndc, g_world, g_fn, g_tex, g_scal = _pallas_backward(
         cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, g)
     g_seeds = np.zeros(seeds.shape, jax.dtypes.float0)
@@ -1155,7 +1289,7 @@ def _prob_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref, valid_ref,
         coords = [_col(fv, i) for i in range(9)]
         w0, w1, w2, z, dist, inside, degen = _face_pixel_geometry(
             px, py, *coords, cfg.clip_bary, cfg.perspective_correct)
-        cand = ((inside | (dist <= cfg.blur_radius)) & ~degen
+        cand = ((inside | (dist <= scal[0, _S_BLUR])) & ~degen
                 & validb & (z > 0) & pixvalid)
         maskf = cand.astype(jnp.float32)
         prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
@@ -1346,7 +1480,7 @@ def _fused_core_sharded(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal,
 
 
 def _fcs_fwd(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
-    active = _active_tiles(cfg, fv_ndc, valid)
+    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     prob_local = _pallas_prob(cfg, fv_ndc, valid, scal, seeds, active)
     prob = jax.lax.pmean(prob_local, axis)
     out_local, weights_local = _pallas_forward(
@@ -1360,7 +1494,7 @@ def _fcs_fwd(cfg, axis, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
 
 def _fcs_bwd(cfg, axis, res, g):
     fv_ndc, fv_world, fn, tex, valid, scal, seeds, prob, weights = res
-    active = _active_tiles(cfg, fv_ndc, valid)
+    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     gz_local, gg_local = _pallas_agg_bwd(
         cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, prob, g)
     g_zmap = jax.lax.pmean(gz_local, axis)
@@ -1574,8 +1708,8 @@ def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), _active_tiles(cfg, fv_ndc, valid), seeds, fv_ndc,
-      fv_world, fn, tex, valid, scal, target_cm, lscale)
+    )(_tile_ids(cfg), _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR]),
+      seeds, fv_ndc, fv_world, fn, tex, valid, scal, target_cm, lscale)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -1781,13 +1915,15 @@ def _key_words(key):
 
 def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
                     smoothagg, blend_params, settings, key, shade,
-                    sample_axis=None):
+                    sample_axis=None, blur_override=None):
     """Build the kernel's tensor inputs (face tables, validity, packed
     scalars, seeds) — shared by the render and loss-and-grad entries."""
     from pertrenderer_tpu.textures import TexturesUV, TexturesVertex
 
     n = meshes.batch_size
     f = meshes.max_faces
+    blur = jnp.asarray(settings.blur_radius if blur_override is None
+                       else blur_override, jnp.float32)
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -1858,14 +1994,24 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
     if cfg.binned:
         from pertrenderer_tpu.ops.gather import take_rows
 
-        ids = jax.vmap(lambda v, va: _bin_face_ids(
-            cfg, v, va.astype(jnp.float32)))(fv_ndc, validf)  # (N, nt, M)
         # One fused gather over the concatenated tables: the one-hot matmul
         # is O(rows x F), so a single (27+Dt)-wide pass (and its single
         # transposed-matmul scatter in the VJP) beats four narrow ones.
         merged = jnp.concatenate([fv_ndc, fv_world, fn_world, tex_tab],
                                  axis=-1)
-        tiles = jax.vmap(take_rows)(merged, ids)           # (N, nt, M, D)
+        validf_f = validf.astype(jnp.float32)
+        if f > _COARSE_THRESHOLD:
+            tiles, ids, counts, max_range = jax.vmap(
+                partial(_binned_tables_sorted, cfg),
+                in_axes=(0, 0, 0, None))(merged, fv_ndc, validf_f, blur)
+            max_range = jnp.max(max_range)
+        else:
+            ids, counts = jax.vmap(
+                partial(_bin_face_ids, cfg),
+                in_axes=(0, 0, None))(fv_ndc, validf_f, blur)  # (N, nt, M)
+            tiles = jax.vmap(take_rows)(merged, ids)       # (N, nt, M, D)
+            max_range = None
+        _check_bin_overflow(cfg, settings, jnp.max(counts), max_range)
         fv_ndc, fv_world, fn_world, tex_tab = (
             tiles[..., :9], tiles[..., 9:18], tiles[..., 18:27],
             tiles[..., 27:])
@@ -1897,13 +2043,14 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         b3(jnp.asarray(blend_params.background_color, jnp.float32)),
         b1(cameras.znear)[:, None], b1(cameras.zfar)[:, None],
         b1(smoothrast.sigma)[:, None], b1(smoothagg.gamma)[:, None],
-        b1(smoothagg.alpha)[:, None],
+        b1(smoothagg.alpha)[:, None], b1(blur)[:, None],
     ], axis=1)[:, None, :]                               # (N, 1, NS)
     return fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds
 
 
 def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
-               blend_params, settings, key, shade: str):
+               blend_params, settings, key, shade: str,
+               blur_override=None):
     """Render via the fused kernel, or return None if the configuration is
     not fused-eligible (caller falls back to the XLA-composed path)."""
     cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
@@ -1914,7 +2061,8 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
                    or getattr(smoothagg, "sample_axis", None))
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,
-                             key, shade, sample_axis=sample_axis)
+                             key, shade, sample_axis=sample_axis,
+                             blur_override=blur_override)
     if cfg.prob_ext:
         out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
             *inputs)
@@ -1928,7 +2076,7 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
 
 def try_render_loss(meshes, cameras, lights, materials, smoothrast,
                     smoothagg, blend_params, settings, key, shade: str,
-                    target, loss_kind: str):
+                    target, loss_kind: str, blur_override=None):
     """Image loss (mean L2 or L1 over the RGB channels vs ``target``) with
     loss, backward and all gradients computed in ONE fused kernel pass, or
     None if not fused-eligible.
@@ -1948,7 +2096,7 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
         return None
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,
-                             key, shade)
+                             key, shade, blur_override=blur_override)
     n = meshes.batch_size
     hw = cfg.image_size * cfg.image_size
     hwpad = _n_tiles(cfg) * cfg.p_tile

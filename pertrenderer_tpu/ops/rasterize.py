@@ -115,6 +115,9 @@ class RasterizationSettings:
     clip_barycentric_coords: Optional[bool] = None
     cull_backfaces: bool = False
     faces_per_chunk: int = 512
+    # Binned fused-kernel capacity policy: 'warn' (default), 'error', or
+    # 'allow' (skip the runtime overflow check).
+    bin_overflow: str = "warn"
 
     def resolve_clip(self) -> bool:
         if self.clip_barycentric_coords is None:
@@ -147,12 +150,16 @@ def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.nda
 
 
 def _edge_dist_sq(px, py, ax, ay, bx, by):
-    """Squared distance from pixel (px, py) to segment (a, b); broadcasting."""
+    """Squared distance from pixel (px, py) to segment (a, b); broadcasting.
+
+    The per-edge constants (deltas, reciprocal length) have the *face* shape
+    only, so in the fused kernel's (F, 1) x (1, P) layout the per-pair work
+    is FMAs and one clip — the division never touches the (F, P) block."""
     ex, ey = bx - ax, by - ay
+    inv_denom = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)
+    exs, eys = ex * inv_denom, ey * inv_denom
     dx, dy = px - ax, py - ay
-    denom = ex * ex + ey * ey
-    t = (dx * ex + dy * ey) / jnp.maximum(denom, 1e-12)
-    t = jnp.clip(t, 0.0, 1.0)
+    t = jnp.clip(dx * exs + dy * eys, 0.0, 1.0)
     rx = dx - t * ex
     ry = dy - t * ey
     return rx * rx + ry * ry
@@ -168,8 +175,15 @@ def _face_pixel_geometry(px, py, ax, ay, az, bx, by, bz, cx, cy, cz,
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     degenerate = jnp.abs(area) < 1e-10
     inv_area = 1.0 / jnp.where(degenerate, 1.0, area)
-    w0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
-    w1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
+    # Edge functions in precomputed-coefficient form: every term in
+    # parentheses has the face shape only, so the per-(face, pixel) work is
+    # two FMAs per barycentric.
+    e0x = (cy - by) * inv_area
+    e0y = (cx - bx) * inv_area
+    w0 = e0y * py - e0x * px + (e0x * bx - e0y * by)
+    e1x = (ay - cy) * inv_area
+    e1y = (ax - cx) * inv_area
+    w1 = e1y * py - e1x * px + (e1x * cx - e1y * cy)
     w2 = 1.0 - w0 - w1
     inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & ~degenerate
 
@@ -387,9 +401,17 @@ def _derive_planar(verts_ndc, faces, idx, image_size, clip,
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def rasterize_planar(meshes, cameras, settings: RasterizationSettings) -> PlanarFragments:
+def rasterize_planar(meshes, cameras, settings: RasterizationSettings,
+                     blur_radius=None) -> PlanarFragments:
     """Rasterize a batch of meshes with per-batch cameras (channel-major
-    fragments — the hot-path API)."""
+    fragments — the hot-path API).
+
+    ``blur_radius`` optionally overrides ``settings.blur_radius`` as a
+    *traced* scalar (annealing changes it without recompiling; it only
+    enters data comparisons).  Structural choices (clip resolution,
+    binning) still come from the static settings value.
+    """
+    blur = settings.blur_radius if blur_radius is None else blur_radius
     verts_ndc = cameras.transform_points_ndc(meshes.verts)   # (N, V, 3)
     clip = settings.resolve_clip()
     bin_size, mfpb = settings.resolve_binning(meshes.faces.shape[1])
@@ -398,13 +420,13 @@ def rasterize_planar(meshes, cameras, settings: RasterizationSettings) -> Planar
         if bin_size:
             select = lambda v: _select_topk_binned(
                 v, faces_n, num_faces_n, settings.image_size,
-                settings.blur_radius, settings.faces_per_pixel, bin_size,
+                blur, settings.faces_per_pixel, bin_size,
                 mfpb, settings.faces_per_chunk, clip,
                 settings.perspective_correct, settings.cull_backfaces)
         else:
             select = lambda v: _select_topk(
                 v, faces_n, num_faces_n, settings.image_size,
-                settings.blur_radius, settings.faces_per_pixel,
+                blur, settings.faces_per_pixel,
                 settings.faces_per_chunk, clip,
                 settings.perspective_correct, settings.cull_backfaces)
         idx = jax.lax.stop_gradient(
@@ -422,8 +444,10 @@ def rasterize_planar(meshes, cameras, settings: RasterizationSettings) -> Planar
                            w0=w0, w1=w1, w2=w2)
 
 
-def rasterize_meshes(meshes, cameras, settings: RasterizationSettings) -> Fragments:
+def rasterize_meshes(meshes, cameras, settings: RasterizationSettings,
+                     blur_radius=None) -> Fragments:
     """Public PyTorch3D-layout rasterization (equivalent of ``MeshRasterizer``
     + the native ``rasterize_meshes`` kernel,
     `/root/reference/randomras/random_rasterizer.py:17`)."""
-    return rasterize_planar(meshes, cameras, settings).to_fragments()
+    return rasterize_planar(meshes, cameras, settings,
+                            blur_radius=blur_radius).to_fragments()

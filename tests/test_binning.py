@@ -70,3 +70,129 @@ def test_max_faces_per_bin_truncates_gracefully():
         pt.RasterizationSettings(image_size=64, faces_per_pixel=4,
                                  bin_size=32, max_faces_per_bin=64))
     assert np.isfinite(np.asarray(frags.zbuf)).all()
+
+
+# ---------------------------------------------------------------------------
+# Y-sorted contiguous-range binning (fused kernel, high-poly table delivery)
+# ---------------------------------------------------------------------------
+
+def _fused_cfg(**kw):
+    from pertrenderer_tpu.ops import fused_render as fr
+
+    base = dict(image_size=256, f_pad=176, f_real=176, k=50, p_tile=128,
+                blur_radius=1e-4, rast_kind="mc", rast_noise="gaussian",
+                rast_vr=True, s_rast=2, agg_kind="mc", agg_noise="gaussian",
+                agg_vr=True, s_agg=2, eps_bg=1e-10, shade="phong",
+                light_kind="point", tex_mode="corner", tex_d=9, atlas_r=0,
+                clip_bary=False, perspective_correct=False, interpret=True,
+                binned=True)
+    base.update(kw)
+    return fr.FusedConfig(**base)
+
+
+def _face_tables(mesh, cams):
+    from pertrenderer_tpu.ops import fused_render as fr
+
+    verts_ndc = cams.transform_points_ndc(mesh.verts)
+    fv_ndc = jax.vmap(fr._gather_rows)(verts_ndc,
+                                       jnp.maximum(mesh.faces, 0))[0]
+    return fv_ndc, jnp.ones((fv_ndc.shape[0],), jnp.float32)
+
+
+def test_sorted_range_selection_matches_direct():
+    """The y-sorted contiguous-range table path selects EXACTLY the same
+    per-tile face sets (and tables) as the direct per-tile nearest-M top_k,
+    whenever no group range overflows; slot order may differ only on exact
+    min-depth ties (the blend is slot-permutation-invariant)."""
+    from pertrenderer_tpu.ops import fused_render as fr
+    from pertrenderer_tpu.ops.gather import take_rows
+
+    mesh, cams = _scene(3)
+    fv_ndc, validf = _face_tables(mesh, cams)
+    cfg = _fused_cfg()
+    merged = jnp.concatenate([fv_ndc, fv_ndc * 2.0, fv_ndc * 3.0], axis=-1)
+
+    ids_d, counts_d = fr._bin_face_ids(cfg, fv_ndc, validf,
+                                       cfg.blur_radius)
+    tiles_d = take_rows(merged, ids_d)
+    tiles_s, ids_s, counts_s, max_range = fr._binned_tables_sorted(
+        cfg, merged, fv_ndc, validf, cfg.blur_radius)
+
+    assert int(max_range) <= fr._RANGE_MAX
+    np.testing.assert_array_equal(np.asarray(counts_d), np.asarray(counts_s))
+    np.testing.assert_array_equal(np.asarray(ids_d >= 0),
+                                  np.asarray(ids_s >= 0))
+    # Same face sets per tile: compare row-sorted tables (rows unique per
+    # face since the fake merged table is injective in the face).
+    a = np.sort(np.asarray(tiles_d), axis=1)
+    b = np.sort(np.asarray(tiles_s), axis=1)
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_sorted_range_render_parity(monkeypatch):
+    """End-to-end fused binned render through the y-sorted path == the
+    direct-top_k path exactly for a deterministic (softras) config."""
+    from pertrenderer_tpu.ops import fused_render as fr
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    mesh, cams = _scene(3)
+    mesh = mesh.with_textures(pt.TexturesVertex(
+        jnp.linspace(0.2, 1.0, mesh.max_verts * 3).reshape(
+            1, mesh.max_verts, 3)))
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    settings = pt.RasterizationSettings(image_size=256, blur_radius=1e-4,
+                                        faces_per_pixel=50)
+    ren = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cams,
+                                            raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            cameras=cams, lights=lights,
+            blend_params=pt.BlendParams(sigma=1e-3, gamma=1e-2,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=pt.SoftRast.create(sigma=1e-3),
+            smoothagg=pt.SoftAgg.create(gamma=1e-2)))
+    key = jax.random.PRNGKey(0)
+    img_direct = np.asarray(ren(mesh, key=key))
+    monkeypatch.setattr(fr, "_COARSE_THRESHOLD", 512)  # force sorted path
+    img_sorted = np.asarray(ren(mesh, key=key))
+    assert (np.asarray(img_direct[..., 3]) > 0).any()
+    np.testing.assert_allclose(img_sorted, img_direct, atol=2e-6)
+
+
+def test_bin_overflow_detection():
+    """An over-capacity scene triggers the runtime overflow warning (and
+    error mode raises); 'allow' is silent."""
+    import warnings
+
+    from pertrenderer_tpu.ops import fused_render as fr
+
+    mesh, cams = _scene(3)
+    fv_ndc, validf = _face_tables(mesh, cams)
+    cfg = _fused_cfg(f_pad=16, f_real=16)   # tiny M -> guaranteed overflow
+    _, counts = fr._bin_face_ids(cfg, fv_ndc, validf, cfg.blur_radius)
+    assert int(jnp.max(counts)) > cfg.f_pad
+
+    settings = pt.RasterizationSettings(image_size=256, bin_overflow="warn")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fr._check_bin_overflow(cfg, settings, jnp.max(counts), None)
+        jax.effects_barrier()
+    assert any("capacity exceeded" in str(w.message) for w in rec)
+
+    settings_err = pt.RasterizationSettings(image_size=256,
+                                            bin_overflow="error")
+    raised = False
+    try:
+        fr._check_bin_overflow(cfg, settings_err, jnp.max(counts), None)
+        jax.effects_barrier()
+    except Exception:
+        raised = True
+    assert raised
+
+    settings_allow = pt.RasterizationSettings(image_size=256,
+                                              bin_overflow="allow")
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        fr._check_bin_overflow(cfg, settings_allow, jnp.max(counts), None)
+        jax.effects_barrier()
+    assert not rec2

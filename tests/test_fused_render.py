@@ -433,3 +433,17 @@ def test_gaussian_forward_expectation():
     # 64 samples/pixel of (bounded) one-hot weights: ~4 sigma tolerance
     assert diff.max() < 0.25, diff.max()
     assert diff.mean() < 0.02
+
+
+def test_prng_probe_matches_committed_goldens():
+    """The interpreter-mode hash-PRNG stream is pinned to the committed
+    goldens bit-exactly; bench.py runs the same probe COMPILED on the chip
+    against the same file, closing the interpreter-vs-Mosaic identity loop
+    (a toolchain update that split the numerics would fail one of the
+    two)."""
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "prng_goldens.npz")
+    ref = np.load(path)
+    for nt in ("gaussian", "cauchy"):
+        got = np.asarray(fr.prng_probe(nt, interpret=True))
+        np.testing.assert_array_equal(got, ref[nt])

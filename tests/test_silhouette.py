@@ -46,10 +46,13 @@ def test_silhouette_scale_fitting():
     s = jnp.asarray(0.7)
     step = jax.jit(jax.value_and_grad(loss))
     key = jax.random.PRNGKey(0)
-    for i in range(40):
+    # Decaying step size: a constant lr of 0.4 orbits the optimum (the MC
+    # gradient stays O(1) inside the blur band), making the final iterate a
+    # coin flip.  1/t decay converges it properly.
+    for i in range(60):
         key, sub = jax.random.split(key)
         val, g = step(s, sub)
-        s = jnp.clip(s - 0.4 * g, 0.2, 3.0)
+        s = jnp.clip(s - 0.4 / (1.0 + i / 10.0) * g, 0.2, 3.0)
     assert abs(float(s) - 1.0) < 0.08, float(s)
 
 

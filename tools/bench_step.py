@@ -31,7 +31,9 @@ def build(image_size, k, s, scene, s_rast=None, s_agg=None):
     if scene == "cube":
         mesh = pt.load_cube().scale_verts(2.0)
     else:
-        verts, faces = pt.make_icosphere(3)
+        level = int(scene[6:]) if scene.startswith("sphere") and \
+            scene[6:].isdigit() else 3
+        verts, faces = pt.make_icosphere(level)
         mesh = pt.Meshes.create(verts, faces,
                                 textures=pt.TexturesVertex(
                                     jnp.ones((1, verts.shape[0], 3))))

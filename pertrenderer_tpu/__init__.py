@@ -27,6 +27,7 @@ from pertrenderer_tpu.io import (
     load_cube,
     load_obj,
     load_objs_as_meshes,
+    make_cow,
     make_icosphere,
     save_obj,
 )

@@ -25,7 +25,8 @@ from pertrenderer_tpu.textures import TexturesAtlas, TexturesUV, TexturesVertex
 
 __all__ = [
     "load_obj", "load_objs_as_meshes", "save_obj",
-    "load_cube", "load_cube_from_files", "make_icosphere", "cube_mesh_data",
+    "load_cube", "load_cube_from_files", "make_icosphere", "make_cow",
+    "cube_mesh_data",
 ]
 
 
@@ -339,6 +340,54 @@ def load_cube_from_files(datadir: str, atlas_size: int = 4) -> Meshes:
         atlas_size=atlas_size,
     )
     return Meshes.create(verts, faces.verts_idx, textures=textures)
+
+
+def make_cow(level: int = 4) -> Meshes:
+    """Procedural 'cow-class' test asset: a few-thousand-face UV-textured
+    mesh for BASELINE config 3 ("textured cow mesh pose+texture optimization
+    at 256^2").  The reference loads external OBJ assets
+    (`/root/reference/experiments/eval.py:224-231`); like the other bundled
+    fixtures this repo generates an equivalent-complexity asset procedurally:
+    an icosphere (level=4: 2562 verts / 5120 faces) deformed into a
+    capsule-ish body with a head bump, spherical UVs and a spotted texture
+    map (TexturesUV with a baked 4x4 atlas for the fused path)."""
+    verts, faces = make_icosphere(level)
+    v = verts.astype(np.float64).copy()
+    # Body: elongate along x, flatten slightly; head bump at +x pole; four
+    # leg-ish bulges below.  (Asymmetry matters more than anatomy here.)
+    v[:, 0] *= 1.6
+    v[:, 1] *= 0.95
+    head = np.exp(-np.sum((v - np.array([1.5, 0.25, 0.0])) ** 2, 1) / 0.18)
+    v += 0.55 * head[:, None] * np.array([1.0, 0.35, 0.0])
+    for lx in (-0.9, 0.7):
+        for lz in (-0.45, 0.45):
+            leg = np.exp(-((v[:, 0] - lx) ** 2 + (v[:, 2] - lz) ** 2)
+                         / 0.06) * (v[:, 1] < -0.2)
+            v[:, 1] -= 0.5 * leg
+    v = v / np.max(np.abs(v))
+    # Spherical UVs (seam faces sample across the wrap; acceptable for a
+    # procedural fixture).
+    u = np.arctan2(v[:, 2], v[:, 0]) / (2.0 * np.pi) + 0.5
+    w = 0.5 + 0.5 * (v[:, 1] / np.max(np.abs(v[:, 1]) + 1e-9))
+    verts_uvs = np.stack([u, np.clip(w, 0.0, 1.0)], 1).astype(np.float32)
+    # Spotted hide: white base, dark blobs, pink belly band.
+    hh = ww = 128
+    yy, xx = np.meshgrid(np.linspace(0, 1, hh), np.linspace(0, 1, ww),
+                         indexing="ij")
+    rng = np.random.RandomState(7)
+    img = np.ones((hh, ww, 3), np.float32) * 0.95
+    for _ in range(14):
+        cy, cx, rr = rng.rand(), rng.rand(), 0.05 + 0.08 * rng.rand()
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        img[d2 < rr * rr] = np.array([0.12, 0.10, 0.10], np.float32)
+    belly = yy < 0.18
+    img[belly] = 0.6 * img[belly] + 0.4 * np.array([0.95, 0.75, 0.75],
+                                                   np.float32)
+    tex = TexturesUV(maps=np.asarray(img)[None],
+                     verts_uvs=np.asarray(verts_uvs)[None],
+                     faces_uvs=np.asarray(faces)[None],
+                     atlas_size=4)
+    return Meshes.create(v.astype(np.float32), faces, textures=tex)
 
 
 def make_icosphere(level: int = 3) -> Tuple[np.ndarray, np.ndarray]:

@@ -69,10 +69,12 @@ __all__ = ["FusedConfig", "fused_available", "try_render",
            "try_render_loss", "MAX_SLOTS"]
 
 MAX_SLOTS = 256          # flat-mode face budget (F_pad <= MAX_SLOTS)
-MAX_BIN_SLOTS = 176      # binned-mode per-tile face budget (VMEM-bound:
+MAX_BIN_SLOTS = 160      # binned-mode per-tile face budget (VMEM-bound:
                          # the backward's vjp residuals measure ~85 KB per
                          # slot-row at p_tile=128 against the 16 MB limit;
-                         # M=192 sits exactly on the edge and flips OOM)
+                         # M=168 still overflows by ~70 KB after the
+                         # round-3 geometry precomputation widened live
+                         # ranges slightly)
 _BIN_P_TILE = 128        # binned tile width (min lane width on TPU; tests
                          # shrink it in interpreter mode for small images)
 _CAUCHY_CLAMP = 1e7
@@ -131,6 +133,8 @@ class FusedConfig:
     binned: bool = False       # slots are bin-local face lists, not all faces
     prob_ext: bool = False     # sample-axis sharding: coverage prob comes in
                                # as a pmean'd input; fwd also emits weights
+    stream: bool = False       # chunked streaming over y-sorted windows
+    rw: int = 0                # streaming window rows (multiple of chunk)
 
     @property
     def bg_row(self) -> int:
@@ -173,27 +177,38 @@ def _uniform01(h):
 def _hash_words(seed0, seed1, s, rows, pos):
     """Mixed counter for (seed, sample index s, channel row, absolute pixel
     position).  Position-keyed streams make the backward replay exact
-    regardless of tiling."""
-    base = pos + rows * jnp.int32(1 << 22)          # pos < 2^22 (<= 2048^2)
-    x = _mix(base)
-    x = _mix(jnp.bitwise_xor(x, seed0 + s * jnp.int32(-1640531527)))
+    regardless of tiling.
+
+    The channel row folds into the seed word with its own odd multiplier
+    (not packed into spare position bits), so arbitrarily large row ids —
+    the streaming kernel keys noise on absolute sorted-face indices — never
+    collide.  The sample index shares the seed word linearly, which is what
+    lets sample-axis sharding express global sample offsets as a seed
+    adjustment."""
+    x = _mix(pos)
+    x = _mix(jnp.bitwise_xor(
+        x, seed0 + s * jnp.int32(-1640531527)
+        + rows * jnp.int32(-2048144777)))
     return jnp.bitwise_xor(x, seed1)
 
 
-def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos):
+def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos, row_base=0):
     """(c, p) block of iid standard noise (c must be even — always true for
     the sublane-padded channel counts).  Gaussian uses both Box-Muller
-    outputs (cos and sin halves), halving the uniform-draw cost."""
+    outputs (cos and sin halves), halving the uniform-draw cost.
+
+    ``row_base`` offsets the hashed channel ids — the streaming kernel
+    draws chunk blocks whose rows key on window-local face indices."""
     if noise_type == "gaussian":
         ch = c // 2
-        rows = jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0) + row_base
         x = _hash_words(seed0, seed1, s, rows, pos)
         u1 = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
         u2 = _uniform01(_mix(x + jnp.int32(-1150833019)))
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         th = (2.0 * np.pi) * u2
         return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0) + row_base
     x = _hash_words(seed0, seed1, s, rows, pos)
     u = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
     if noise_type == "cauchy":
@@ -437,27 +452,32 @@ _UNROLL = 16   # sample loops up to this trip count unroll to straight-line
                # code (no Mosaic loop overhead; sample index is a constant)
 
 
-def _sample_loop(n, body, carry):
-    """fori_loop over samples, unrolled for small static trip counts."""
-    if n <= _UNROLL:
+def _sample_loop(n, body, carry, unroll=True):
+    """fori_loop over samples, unrolled for small static trip counts.
+
+    Binned-mode kernels keep the rolled loop: unrolling widens Mosaic's
+    live ranges enough to push the M=176-slot backward past the 16 MB
+    scoped-VMEM limit."""
+    if unroll and n <= _UNROLL:
         for s in range(n):
             carry = body(s, carry)
         return carry
     return jax.lax.fori_loop(0, n, body, carry)
 
 
-def _mc_rast_forward(cfg, d, sigma, s0, s1, pos):
+def _mc_rast_forward(cfg, d, sigma, s0, s1, pos, row_base=0):
     c, p = d.shape
 
     def body(s, acc):
-        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos, row_base)
         return acc + _heaviside(d + sigma * z)
 
-    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d))
+    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d),
+                       unroll=not cfg.binned)
     return acc * (1.0 / cfg.s_rast)
 
 
-def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos):
+def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos, row_base=0):
     """Variance-reduced score coefficient: grad wrt d is coeff * g and the
     sigma grad is sum(coeff * g) (the reference's sigma-grad overwrite quirk,
     `/root/reference/randomras/smoothrast.py:55-58`)."""
@@ -465,15 +485,16 @@ def _mc_rast_coeff(cfg, d, sigma, s0, s1, pos):
     h0 = _heaviside(d) if cfg.rast_vr else jnp.zeros_like(d)
 
     def body(s, acc):
-        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos, row_base)
         h = _heaviside(d + sigma * z)
         return acc + (h - h0) * _score(z, cfg.rast_noise)
 
-    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d))
+    acc = _sample_loop(cfg.s_rast, body, jnp.zeros_like(d),
+                       unroll=not cfg.binned)
     return acc / (cfg.s_rast * sigma)
 
 
-def _mc_rast_fwd_coeff(cfg, d, sigma, s0, s1, pos):
+def _mc_rast_fwd_coeff(cfg, d, sigma, s0, s1, pos, row_base=0):
     """Fused forward mean + score coefficient (one noise pass for backward).
     Identical streams to _mc_rast_forward/_mc_rast_coeff."""
     c, p = d.shape
@@ -481,12 +502,13 @@ def _mc_rast_fwd_coeff(cfg, d, sigma, s0, s1, pos):
 
     def body(s, carry):
         acc_p, acc_c = carry
-        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos)
+        z = _draw_block(cfg.rast_noise, s0, s1, s, c, p, pos, row_base)
         h = _heaviside(d + sigma * z)
         return acc_p + h, acc_c + (h - h0) * _score(z, cfg.rast_noise)
 
     acc_p, acc_c = _sample_loop(
-        cfg.s_rast, body, (jnp.zeros_like(d), jnp.zeros_like(d)))
+        cfg.s_rast, body, (jnp.zeros_like(d), jnp.zeros_like(d)),
+        unroll=not cfg.binned)
     return acc_p * (1.0 / cfg.s_rast), acc_c / (cfg.s_rast * sigma)
 
 
@@ -502,7 +524,8 @@ def _mc_agg_forward(cfg, zmap_full, gamma, s0, s1, pos):
         n = _draw_block(cfg.agg_noise, s0, s1, s, c, p, pos)
         return acc + _onehot_ge(zmap_full + gamma * n)
 
-    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full),
+                       unroll=not cfg.binned)
     return acc * (1.0 / cfg.s_agg)
 
 
@@ -562,7 +585,7 @@ def _mc_agg_fwd_grads(cfg, zmap_full, g_w, gamma, s0, s1, pos):
     acc_w, acc_z, acc_g = _sample_loop(
         cfg.s_agg, body,
         (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-         jnp.zeros((1, shape[1]), jnp.float32)))
+         jnp.zeros((1, shape[1]), jnp.float32)), unroll=not cfg.binned)
     return (acc_w * (1.0 / cfg.s_agg), acc_z / (cfg.s_agg * gamma),
             acc_g / (cfg.s_agg * gamma))
 
@@ -609,7 +632,8 @@ def _mc_agg_forward_stash(cfg, zmap_full, gamma, s0, s1, pos, noise_ref):
         noise_ref[pl.ds(s, 1)] = n[None]
         return acc + _onehot_ge(zmap_full + gamma * n)
 
-    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full))
+    acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full),
+                       unroll=not cfg.binned)
     return acc * (1.0 / cfg.s_agg)
 
 
@@ -639,7 +663,7 @@ def _mc_agg_grads_stashed(cfg, zmap_full, g_w, gamma, noise_ref):
     acc_z, acc_g = _sample_loop(
         cfg.s_agg, body,
         (jnp.zeros(shape, jnp.float32),
-         jnp.zeros((1, shape[1]), jnp.float32)))
+         jnp.zeros((1, shape[1]), jnp.float32)), unroll=not cfg.binned)
     return acc_z / (cfg.s_agg * gamma), acc_g / (cfg.s_agg * gamma)
 
 
@@ -993,8 +1017,28 @@ def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col, blur):
     return out, counts                                    # (nt, M), (nt,)
 
 
+_CALLBACK_OK = None
+
+
+def _callbacks_supported() -> bool:
+    """One-time probe: can this backend execute host callbacks?  (The axon
+    dev relay cannot; jitted programs containing them fail to build.)"""
+    global _CALLBACK_OK
+    if _CALLBACK_OK is None:
+        try:
+            def f(x):
+                jax.debug.callback(lambda v: None, x)
+                return x + 1.0
+            jax.block_until_ready(jax.jit(f)(jnp.zeros(())))
+            jax.effects_barrier()
+            _CALLBACK_OK = True
+        except Exception:
+            _CALLBACK_OK = False
+    return _CALLBACK_OK
+
+
 def _check_bin_overflow(cfg: FusedConfig, settings, max_tile_count,
-                        max_range):
+                        max_range, range_limit=None):
     """Runtime capacity check for binned mode (never silent truncation):
     ``settings.bin_overflow`` is 'warn' (default — one warning per
     occurrence), 'error' (raise), or 'allow' (skip the check entirely —
@@ -1003,8 +1047,20 @@ def _check_bin_overflow(cfg: FusedConfig, settings, max_tile_count,
     mode = getattr(settings, "bin_overflow", "warn")
     if mode == "allow":
         return
+    if not _callbacks_supported():
+        # e.g. the axon dev relay cannot run host callbacks; real TPU/CPU
+        # backends keep the runtime check.
+        import warnings
 
-    m = cfg.f_pad
+        warnings.warn(
+            "binned/stream capacity checks are disabled: this backend has "
+            "no host-callback support. Run the scene once on CPU "
+            "(interpret mode) to validate capacity, or set "
+            "bin_overflow='allow' to silence this.", stacklevel=2)
+        return
+
+    m = cfg.f_pad if not cfg.stream else (1 << 30)
+    rlimit = range_limit if range_limit is not None else _RANGE_MAX
 
     def cb(mt, mr):
         import warnings
@@ -1014,10 +1070,10 @@ def _check_bin_overflow(cfg: FusedConfig, settings, max_tile_count,
             msgs.append(
                 f"a tile has {int(mt)} candidate faces > {m} bin slots "
                 "(farthest faces dropped)")
-        if mr is not None and int(mr) > _RANGE_MAX:
+        if mr is not None and int(mr) > rlimit:
             msgs.append(
                 f"a y-sorted group range holds {int(mr)} faces > "
-                f"{_RANGE_MAX} (range clamped)")
+                f"{rlimit} (range clamped)")
         if not msgs:
             return
         msg = ("binned fused render capacity exceeded: " + "; ".join(msgs)
@@ -1515,6 +1571,631 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Streaming chunked mode: exact mid/high-coverage rendering, no slot caps
+# ---------------------------------------------------------------------------
+#
+# The M-slot binned mode truncates when a tile's candidate set exceeds
+# MAX_BIN_SLOTS (VMEM-bound); dense scenes at 128^2-256^2 (the icosphere at
+# 128^2, the cow at 256^2) need hundreds-to-thousands of candidates per
+# tile.  Streaming mode processes each tile's y-sorted window in fixed
+# _STREAM_CHUNK-face chunks with O(chunk) VMEM, maintaining running
+# per-sample argmax winners (and an online softmax for SoftAgg) — every
+# candidate face participates, exactly like flat mode's slots-are-faces
+# semantics, with no truncation at any coverage density.
+#
+# Deliberate deviation from the flat kernel (documented): the z_map
+# max-stabilization shift (z_inv_max, smoothagg.py:50-53) is omitted.  The
+# shift is common to all channels of a pixel, so argmax weights and softmax
+# weights are mathematically unchanged (softmax re-stabilizes internally);
+# its only trace is a zero-mean per-sample term in the MC z-gradients (and
+# exactly zero for the deterministic members).
+#
+# Noise channels key on *window-local* face rows (plus the absolute pixel
+# position): replay-exact within a tile, independent across pixels.
+
+_STREAM_CHUNK = 128       # faces per streamed chunk
+_STREAM_GROUP = 8         # tiles sharing one window table block
+_STREAM_RW = 2048         # max window rows (range overflow is detected)
+_BIG_LO = 1e30            # lo sentinel for invalid/padding rows
+
+
+def _prod_rows(x):
+    """Product over the row axis by successive halving (log-depth chain of
+    elementwise multiplies)."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        lo = x[:half] * x[half:2 * half]
+        x = jnp.concatenate([lo, x[2 * half:]], axis=0) if n % 2 else lo
+        n = x.shape[0]
+    return x                                            # (1, P)
+
+
+def _row_at(x, s):
+    """Row s of (S, P); static fast path for the unrolled sample loop."""
+    if isinstance(s, int):
+        return x[s:s + 1]
+    return jax.lax.dynamic_slice_in_dim(x, s, 1, axis=0)
+
+
+def _row_set(x, s, v):
+    if isinstance(s, int):
+        return jnp.concatenate([x[:s], v, x[s + 1:]], axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(x, v, s, axis=0)
+
+
+def _first_hot_rows(val):
+    """First-wins one-hot of the row-axis max; returns (max (1, P), hot)."""
+    m = jnp.max(val, axis=0, keepdims=True)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, val.shape, 0)
+    first = jnp.min(jnp.where(val >= m, ridx, jnp.int32(1 << 30)), axis=0,
+                    keepdims=True)
+    return m, (ridx == first).astype(jnp.float32), first
+
+
+def _stream_chunk_det(cfg, px, py, pixvalid, scal, blk):
+    """Geometry + shading for one streamed chunk block (ch, Df)."""
+    td = cfg.tex_d
+    lo_col = blk[:, 27 + td:28 + td]
+    validb = lo_col < _BIG_LO
+    det1 = _make_det1(cfg, px, py, pixvalid, validb)
+    return det1(blk[:, :9], blk[:, 9:18], blk[:, 18:27], blk[:, 27:27 + td],
+                scal)
+
+
+def _stream_zmap(cfg, prob, z, maskf, scal):
+    """Chunk z_map WITHOUT the common stabilization shift (see section
+    docstring).  z_inv is masked like the flat det2 so dead rows carry no
+    depth gradients."""
+    znear = scal[0, _S_ZNEAR]
+    zfar = scal[0, _S_ZFAR]
+    z_inv = (zfar - z) / (zfar - znear) * maskf
+    lp = log_corrected(prob)
+    if cfg.agg_kind == "hard":
+        scaled = jnp.float32(1.0 / 1e6) * lp
+    else:
+        gal = scal[0, _S_GAMMA] / scal[0, _S_ALPHA]
+        scaled = prod_corrected(gal, lp)
+    return scaled + z_inv
+
+
+def _stream_chunk_iter(cfg, nchunk_ref, body, carry):
+    """fori over chunks with the per-chunk skip bit (chunks are lo-sorted,
+    so inactive chunks are either past the group's window or padding)."""
+
+    def chunk_body(c, carry):
+        return jax.lax.cond(nchunk_ref[0, c] > 0, lambda cr: body(c, cr),
+                            lambda cr: cr, carry)
+
+    return jax.lax.fori_loop(0, cfg.rw // _STREAM_CHUNK, chunk_body, carry)
+
+
+def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
+                           gtab_ref, scal_ref, out_ref, *, cfg):
+    tile = tile_ref[0, 0, 0]
+    pos, px, py, pixvalid = _tile_coords(cfg, tile)
+    scal = scal_ref[:]
+    ch, p = _STREAM_CHUNK, cfg.p_tile
+    gamma = scal[0, _S_GAMMA]
+    sigma = scal[0, _S_SIGMA]
+    s_agg = cfg.s_agg if cfg.agg_kind == "mc" else 1
+    bgc = [jnp.full((1, p), scal[0, _S_BG + c]) for c in range(3)]
+
+    def pipeline(_):
+        # Aggregation state, initialized with the background channel.
+        if cfg.agg_kind == "soft":
+            inv_g = 1.0 / gamma
+            x_bg = jnp.full((1, p), cfg.eps_bg * inv_g)
+            st0 = (jnp.ones((1, p), jnp.float32), x_bg,
+                   jnp.ones((1, p), jnp.float32),
+                   [c.astype(jnp.float32) for c in bgc])
+            # (alpha, M, den, num[3]) with den/num relative to M
+        else:
+            def bg_row(s):
+                if cfg.agg_kind == "hard":
+                    return jnp.full((1, p), cfg.eps_bg)
+                n = _draw_block(cfg.agg_noise, seeds_ref[0, 2],
+                                seeds_ref[0, 3], s, 2, p, pos,
+                                row_base=cfg.rw)[0:1]
+                return cfg.eps_bg + gamma * n
+            runmax = jnp.concatenate([bg_row(s) for s in range(s_agg)], 0)
+            winc = [jnp.concatenate([c] * s_agg, 0) for c in bgc]  # (S, P)
+            st0 = (jnp.ones((1, p), jnp.float32), runmax, winc)
+
+        def body(c, st):
+            blk = gtab_ref[0, pl.ds(c * ch, ch), :]
+            dist, z, c0, c1, c2, maskf = _stream_chunk_det(
+                cfg, px, py, pixvalid, scal, blk)
+            if cfg.rast_kind == "mc":
+                prob_raw = _mc_rast_forward(cfg, -dist, sigma,
+                                            seeds_ref[0, 0], seeds_ref[0, 1],
+                                            pos, row_base=c * ch)
+            else:
+                prob_raw = _make_det_rast(cfg)(dist, scal)
+            prob = prob_raw * maskf
+            # Dead rows carry prob 0 -> log_corrected gives -inf z_map:
+            # they can never win the argmax and vanish in the softmax.
+            zmap = _stream_zmap(cfg, prob, z, maskf, scal)
+            alpha = st[0] * _prod_rows(1.0 - prob)
+
+            if cfg.agg_kind == "soft":
+                _, m_old, den, num = st
+                x = zmap * (1.0 / gamma)   # bit-matches prod_corrected form
+                mc_ = jnp.max(x, axis=0, keepdims=True)
+                m_new = jnp.maximum(m_old, mc_)
+                scale = jnp.exp(m_old - m_new)
+                e = jnp.exp(x - m_new)
+                den = den * scale + jnp.sum(e, axis=0, keepdims=True)
+                num = [n_ * scale + jnp.sum(e * cc, axis=0, keepdims=True)
+                       for n_, cc in zip(num, (c0, c1, c2))]
+                return (alpha, m_new, den, num)
+
+            _, runmax, winc = st
+
+            def s_body(s, sst):
+                runmax, w0_, w1_, w2_ = sst
+                if cfg.agg_kind == "hard":
+                    val = zmap
+                else:
+                    n = _draw_block(cfg.agg_noise, seeds_ref[0, 2],
+                                    seeds_ref[0, 3], s, ch, p, pos,
+                                    row_base=c * ch)
+                    val = zmap + gamma * n
+                m, hot, _ = _first_hot_rows(val)
+                cc = [jnp.sum(hot * ci, axis=0, keepdims=True)
+                      for ci in (c0, c1, c2)]
+                rm = _row_at(runmax, s)
+                better = m > rm
+                runmax = _row_set(runmax, s, jnp.where(better, m, rm))
+                outs = []
+                for w_, ci in zip((w0_, w1_, w2_), cc):
+                    outs.append(_row_set(
+                        w_, s, jnp.where(better, ci, _row_at(w_, s))))
+                return (runmax,) + tuple(outs)
+
+            runmax, wc0, wc1, wc2 = _sample_loop(
+                s_agg, s_body, (runmax, winc[0], winc[1], winc[2]))
+            return (alpha, runmax, [wc0, wc1, wc2])
+
+        st = _stream_chunk_iter(cfg, nchunk_ref, body, st0)
+        if cfg.agg_kind == "soft":
+            alpha, _, den, num = st
+            rgb = [n_ / den for n_ in num]
+        else:
+            alpha, _, winc = st
+            rgb = [jnp.mean(w_, axis=0, keepdims=True) for w_ in winc]
+        return jnp.concatenate(rgb + [1.0 - alpha], axis=0)
+
+    out_ref[:] = jax.lax.cond(active_ref[0, 0, 0] > 0, pipeline,
+                              lambda _: _bg_image(cfg, scal), None)
+
+
+def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
+                            gtab_ref, scal_ref, g_out_ref, g_gtab_ref,
+                            g_scal_ref, *, cfg):
+    tile = tile_ref[0, 0, 0]
+    pos, px, py, pixvalid = _tile_coords(cfg, tile)
+    scal = scal_ref[:]
+    g_rgba = g_out_ref[:]
+    ch, p, rw = _STREAM_CHUNK, cfg.p_tile, cfg.rw
+    gamma = scal[0, _S_GAMMA]
+    sigma = scal[0, _S_SIGMA]
+    td = cfg.tex_d
+    df = 27 + td + 1
+    mc_agg = cfg.agg_kind == "mc"
+    s_agg = cfg.s_agg if mc_agg else 1
+    g_rgb = [g_rgba[c:c + 1] for c in range(3)]
+    g_alpha = g_rgba[3:4]
+    bgc = [jnp.full((1, p), scal[0, _S_BG + c]) for c in range(3)]
+    cols_ns = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
+
+    # First tile of each group owns zeroing the revisited gradient block.
+    @pl.when(tile % _STREAM_GROUP == 0)
+    def _zero_block():
+        g_gtab_ref[:] = jnp.zeros_like(g_gtab_ref)
+
+    def chunk_blk(c):
+        return gtab_ref[0, pl.ds(c * ch, ch), :]
+
+    def agg_noise(s, c):
+        return _draw_block(cfg.agg_noise, seeds_ref[0, 2], seeds_ref[0, 3],
+                           s, ch, p, pos, row_base=c * ch)
+
+    def pipeline(_):
+        # ---- pass B1: replay forward, stash per-sample winner info -------
+        if cfg.agg_kind == "soft":
+            inv_g = 1.0 / gamma
+            x_bg = jnp.full((1, p), cfg.eps_bg * inv_g)
+            st0 = (jnp.zeros((1, p), jnp.float32),     # zcnt
+                   jnp.ones((1, p), jnp.float32),      # pnz
+                   x_bg,                               # M
+                   jnp.ones((1, p), jnp.float32),      # den
+                   [c.astype(jnp.float32) for c in bgc])   # num
+        else:
+            def bg_row(s):
+                if cfg.agg_kind == "hard":
+                    return jnp.full((1, p), cfg.eps_bg), jnp.zeros((1, p))
+                n = _draw_block(cfg.agg_noise, seeds_ref[0, 2],
+                                seeds_ref[0, 3], s, 2, p, pos,
+                                row_base=rw)[0:1]
+                return cfg.eps_bg + gamma * n, n
+            bg_rows = [bg_row(s) for s in range(s_agg)]
+            runmax = jnp.concatenate([r for r, _ in bg_rows], 0)   # (S, P)
+            if cfg.agg_noise == "gaussian" or cfg.agg_kind == "hard":
+                phi = jnp.concatenate([n * n for _, n in bg_rows], 0)
+            else:
+                phi = jnp.concatenate(
+                    [_score(n, cfg.agg_noise) * n for _, n in bg_rows], 0)
+            winid = jnp.full((s_agg, p), jnp.float32(rw))
+            winc = [jnp.concatenate([c] * s_agg, 0) for c in bgc]
+            rm0 = jnp.full((1, p), cfg.eps_bg)
+            w0c = [c.astype(jnp.float32) for c in bgc]
+            st0 = (jnp.zeros((1, p), jnp.float32),
+                   jnp.ones((1, p), jnp.float32),
+                   runmax, winid, winc, phi, rm0, w0c,
+                   jnp.float32(0.0))                   # nreal
+
+        def body1(c, st):
+            blk = chunk_blk(c)
+            dist, z, c0, c1, c2, maskf = _stream_chunk_det(
+                cfg, px, py, pixvalid, scal, blk)
+            if cfg.rast_kind == "mc":
+                prob_raw = _mc_rast_forward(cfg, -dist, sigma,
+                                            seeds_ref[0, 0], seeds_ref[0, 1],
+                                            pos, row_base=c * ch)
+            else:
+                prob_raw = _make_det_rast(cfg)(dist, scal)
+            prob = prob_raw * maskf
+            zmap = _stream_zmap(cfg, prob, z, maskf, scal)
+            one = (prob >= 1.0)
+            zcnt = st[0] + jnp.sum(one.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+            pnz = st[1] * _prod_rows(jnp.where(one, 1.0, 1.0 - prob))
+
+            if cfg.agg_kind == "soft":
+                _, _, m_old, den, num = st
+                x = zmap * (1.0 / gamma)
+                m_new = jnp.maximum(m_old,
+                                    jnp.max(x, axis=0, keepdims=True))
+                sc = jnp.exp(m_old - m_new)
+                e = jnp.exp(x - m_new)
+                den = den * sc + jnp.sum(e, axis=0, keepdims=True)
+                num = [n_ * sc + jnp.sum(e * cc, axis=0, keepdims=True)
+                       for n_, cc in zip(num, (c0, c1, c2))]
+                return (zcnt, pnz, m_new, den, num)
+
+            _, _, runmax, winid, winc, phi, rm0, w0c, nreal = st
+
+            # Hard-argmax control variate track (no noise).
+            m0, hot0, _ = _first_hot_rows(zmap)
+            b0 = m0 > rm0
+            rm0 = jnp.where(b0, m0, rm0)
+            w0c = [jnp.where(b0, jnp.sum(hot0 * cc, axis=0, keepdims=True),
+                             w_) for w_, cc in zip(w0c, (c0, c1, c2))]
+
+            def s_body(s, sst):
+                runmax, winid, w0_, w1_, w2_, phi = sst
+                if cfg.agg_kind == "hard":
+                    val, n = zmap, None
+                else:
+                    n = agg_noise(s, c)
+                    val = zmap + gamma * n
+                m, hot, first = _first_hot_rows(val)
+                cc = [jnp.sum(hot * ci, axis=0, keepdims=True)
+                      for ci in (c0, c1, c2)]
+                rm = _row_at(runmax, s)
+                better = m > rm
+                runmax = _row_set(runmax, s, jnp.where(better, m, rm))
+                wid = _row_at(winid, s)
+                winid = _row_set(winid, s, jnp.where(
+                    better, (first + c * ch).astype(jnp.float32), wid))
+                outs = []
+                for w_, ci in zip((w0_, w1_, w2_), cc):
+                    outs.append(_row_set(
+                        w_, s, jnp.where(better, ci, _row_at(w_, s))))
+                if n is not None:
+                    if cfg.agg_noise == "gaussian":
+                        ph = jnp.sum(n * n, axis=0, keepdims=True)
+                    else:
+                        ph = jnp.sum(_score(n, cfg.agg_noise) * n, axis=0,
+                                     keepdims=True)
+                    phi = _row_set(phi, s, _row_at(phi, s) + ph)
+                return (runmax, winid) + tuple(outs) + (phi,)
+
+            runmax, winid, wc0, wc1, wc2, phi = _sample_loop(
+                s_agg, s_body,
+                (runmax, winid, winc[0], winc[1], winc[2], phi))
+            return (zcnt, pnz, runmax, winid, [wc0, wc1, wc2], phi, rm0,
+                    w0c, nreal + ch)
+
+        st = _stream_chunk_iter(cfg, nchunk_ref, body1, st0)
+
+        # ---- post-B1: per-sample cotangent scalars -----------------------
+        g_scal = jnp.zeros((1, _NS), jnp.float32)
+        g_prod = -g_alpha                     # alpha = 1 - prod(1 - p)
+        if cfg.agg_kind == "soft":
+            zcnt, pnz, m_fin, den, num = st
+            rgb = [n_ / den for n_ in num]
+            dot_w = sum(r * g for r, g in zip(rgb, g_rgb))     # (1, P)
+            # Background channel contributions (weight + color cotangent).
+            w_bg = jnp.exp(x_bg - m_fin) / den
+            for cidx in range(3):
+                g_scal = g_scal + jnp.where(
+                    cols_ns == _S_BG + cidx,
+                    jnp.sum(w_bg * g_rgb[cidx]), 0.0)
+            gb_x = w_bg * (sum(b * g for b, g in zip(bgc, g_rgb)) - dot_w)
+            # bg x = eps * (1/gamma): its only parameter path is gamma.
+            g_scal = g_scal + jnp.where(
+                cols_ns == _S_GAMMA,
+                -jnp.sum(cfg.eps_bg * gb_x) / (gamma * gamma), 0.0)
+            aux = (m_fin, den, dot_w)
+            dot = winid = None
+        else:
+            (zcnt, pnz, runmax, winid, winc, phi, rm0, w0c, nreal) = st
+            dot = sum((w_ - b_) * g for w_, b_, g in
+                      zip(winc, w0c, g_rgb))                  # (S, P)
+            comp = jnp.float32(cfg.k) - nreal
+            gamma_term = jnp.sum(dot * (phi + comp - 1.0)) / (s_agg * gamma)
+            if cfg.agg_kind == "mc":
+                g_scal = g_scal + jnp.where(cols_ns == _S_GAMMA, gamma_term,
+                                            0.0)
+            # Background weight cotangent -> background color gradient.
+            wbg_mean = jnp.mean((winid >= rw).astype(jnp.float32),
+                                axis=0, keepdims=True)
+            for cidx in range(3):
+                g_scal = g_scal + jnp.where(
+                    cols_ns == _S_BG + cidx,
+                    jnp.sum(wbg_mean * g_rgb[cidx]), 0.0)
+            aux = None
+
+        # ---- pass B2: per-chunk gradients --------------------------------
+        def body2(c, carry):
+            g_scal_acc = carry
+            blk = chunk_blk(c)
+            (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
+                lambda a, b, d, e, f: _stream_chunk_det(
+                    cfg, px, py, pixvalid, f,
+                    jnp.concatenate([a, b, d, e,
+                                     blk[:, 27 + td:28 + td]], axis=1)),
+                blk[:, :9], blk[:, 9:18], blk[:, 18:27],
+                blk[:, 27:27 + td], scal)
+            if cfg.rast_kind == "mc":
+                prob_raw, coeff = _mc_rast_fwd_coeff(
+                    cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1],
+                    pos, row_base=c * ch)
+                vjp_rast = None
+            else:
+                prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+                coeff = None
+            prob = prob_raw * maskf
+            zmap, vjp_z = jax.vjp(
+                lambda pr, zz, sc: _stream_zmap(cfg, pr, zz, maskf, sc),
+                prob, z, scal)
+
+            rows_f = (jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0)
+                      + c * ch).astype(jnp.float32)
+
+            # z_map cotangent from the aggregation.
+            if cfg.agg_kind == "soft":
+                m_fin, den, dot_w = aux
+                x = zmap * (1.0 / gamma)
+                wgt = jnp.exp(x - m_fin) / den
+                g_w_rows = c0 * g_rgb[0] + c1 * g_rgb[1] + c2 * g_rgb[2]
+                g_x = wgt * (g_w_rows - dot_w)
+                g_zmap = g_x * (1.0 / gamma)
+                zsafe = jnp.where(jnp.isinf(zmap), 0.0, zmap)
+                g_ig = jnp.sum(zsafe * g_x)        # d/d(1/gamma) partial
+                g_scal_c = jnp.where(cols_ns == _S_GAMMA,
+                                     -g_ig / (gamma * gamma), 0.0)
+                g_c = [wgt * g for g in g_rgb]
+            elif cfg.agg_kind == "hard":
+                g_zmap = jnp.zeros((ch, p), jnp.float32)
+                g_scal_c = jnp.zeros((1, _NS), jnp.float32)
+                g_c = [(winid[0:1] == rows_f).astype(jnp.float32) * g
+                       for g in g_rgb]
+            else:
+                def sb(s, acc):
+                    n = agg_noise(s, c)
+                    d_s = _row_at(dot, s)
+                    return acc + d_s * _score(n, cfg.agg_noise)
+                acc_z = _sample_loop(s_agg, sb,
+                                     jnp.zeros((ch, p), jnp.float32))
+                g_zmap = acc_z / (s_agg * gamma)
+                g_scal_c = jnp.zeros((1, _NS), jnp.float32)
+
+                def cb(s, acc):
+                    sel = (_row_at(winid, s) == rows_f).astype(jnp.float32)
+                    return [a + sel * g for a, g in zip(acc, g_rgb)]
+                g_c = _sample_loop(
+                    s_agg, cb, [jnp.zeros((ch, p), jnp.float32)
+                                for _ in range(3)])
+                g_c = [g / s_agg for g in g_c]
+
+            g_prob_z, g_z, g_scal_z = vjp_z(g_zmap)
+
+            # alpha-product cotangent (exact exclusion products).
+            one = (prob >= 1.0)
+            excl = jnp.where(
+                one, jnp.where(zcnt == 1.0, pnz, 0.0),
+                jnp.where(zcnt == 0.0, pnz / jnp.where(one, 1.0, 1.0 - prob),
+                          0.0))
+            g_prob = g_prob_z + g_prod * (-excl)
+            g_prob_raw = g_prob * maskf
+
+            if cfg.rast_kind == "mc":
+                g_d = coeff * g_prob_raw
+                g_dist = -g_d
+                g_scal_r = jnp.where(cols_ns == _S_SIGMA, jnp.sum(g_d), 0.0)
+            else:
+                g_dist, g_scal_r = vjp_rast(g_prob_raw)
+
+            g_ndc, g_world, g_fn, g_tex, g_scal_1 = vjp1(
+                (g_dist, g_z, g_c[0], g_c[1], g_c[2],
+                 jnp.zeros_like(maskf)))
+            gblk = jnp.concatenate(
+                [g_ndc, g_world, g_fn, g_tex,
+                 jnp.zeros((ch, 1), jnp.float32)], axis=1)
+            cur = g_gtab_ref[0, pl.ds(c * ch, ch), :]
+            g_gtab_ref[0, pl.ds(c * ch, ch), :] = cur + gblk
+            return (g_scal_acc + g_scal_z + g_scal_c + g_scal_r + g_scal_1)
+
+        g_scal = _stream_chunk_iter(cfg, nchunk_ref, body2, g_scal)
+        return g_scal
+
+    def bg_only(_):
+        g_scal = jnp.zeros((1, _NS), jnp.float32)
+        for c in range(3):
+            g_scal = g_scal + jnp.where(cols_ns == _S_BG + c,
+                                        jnp.sum(g_rgb[c]), 0.0)
+        return g_scal
+
+    g_scal_tile = jax.lax.cond(active_ref[0, 0, 0] > 0, pipeline, bg_only,
+                               None)
+
+    @pl.when(tile == 0)
+    def _init():
+        g_scal_ref[:] = g_scal_tile
+
+    @pl.when(tile != 0)
+    def _accum():
+        g_scal_ref[:] = g_scal_ref[:] + g_scal_tile
+
+
+def _stream_specs(cfg: FusedConfig):
+    g = _STREAM_GROUP
+    nc = cfg.rw // _STREAM_CHUNK
+    df = 27 + cfg.tex_d + 1
+    return [
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # tile ids
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # active bits
+        pl.BlockSpec((1, nc), lambda i, g=g: (i // g, 0),
+                     memory_space=pltpu.VMEM),          # chunk bits
+        _const_spec((1, 8)),                            # seeds
+        pl.BlockSpec((1, cfg.rw, df), lambda i, g=g: (i // g, 0, 0),
+                     memory_space=pltpu.VMEM),          # window tables
+        _const_spec((1, _NS)),                          # scal
+    ]
+
+
+def _pallas_stream_forward(cfg, gtabs, nchunks, active, scal, seeds):
+    nt = _n_tiles(cfg)
+    return pl.pallas_call(
+        partial(_stream_forward_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_stream_specs(cfg),
+        out_specs=pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, nchunks, seeds, gtabs, scal)
+
+
+def _pallas_stream_backward(cfg, gtabs, nchunks, active, scal, seeds, g_out):
+    nt = _n_tiles(cfg)
+    g = _STREAM_GROUP
+    ng = gtabs.shape[0]
+    df = 27 + cfg.tex_d + 1
+    return pl.pallas_call(
+        partial(_stream_backward_kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=_stream_specs(cfg) + [
+            pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, cfg.rw, df), lambda i, g=g: (i // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec((1, _NS)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ng, cfg.rw, df), jnp.float32),
+            jax.ShapeDtypeStruct((1, _NS), jnp.float32),
+        ),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, nchunks, seeds, gtabs, scal, g_out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_core_stream(cfg, gtabs, scal, nchunks, active, seeds):
+    return _pallas_stream_forward(cfg, gtabs, nchunks, active, scal, seeds)
+
+
+def _fcstream_fwd(cfg, gtabs, scal, nchunks, active, seeds):
+    out = _fused_core_stream(cfg, gtabs, scal, nchunks, active, seeds)
+    return out, (gtabs, scal, nchunks, active, seeds)
+
+
+def _fcstream_bwd(cfg, res, g):
+    gtabs, scal, nchunks, active, seeds = res
+    g_gtabs, g_scal = _pallas_stream_backward(cfg, gtabs, nchunks, active,
+                                              scal, seeds, g)
+    return (g_gtabs, g_scal,
+            np.zeros(nchunks.shape, jax.dtypes.float0),
+            np.zeros(active.shape, jax.dtypes.float0),
+            np.zeros(seeds.shape, jax.dtypes.float0))
+
+
+_fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
+
+
+def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
+    """Window tables for streaming mode: y-sorted faces, one contiguous
+    window slice per _STREAM_GROUP tiles with a trailing sort-key column
+    (doubles as the validity/padding sentinel), plus per-(group, chunk)
+    activity bits.  Differentiable w.r.t. ``merged`` (permutation-gather +
+    dynamic-slice VJPs — no scalar scatters)."""
+    nt = _n_tiles(cfg)
+    g = _STREAM_GROUP
+    ng = -(-nt // g)
+    rw = cfg.rw
+    f = fv_ndc.shape[0]
+    band = jnp.sqrt(jnp.maximum(blur, 0.0))
+
+    fv_s = jax.lax.stop_gradient(fv_ndc)
+    validb = _face_validb(fv_ndc, valid_col)
+    ys = fv_s[:, 1::3]
+    lo = jnp.min(ys, axis=1) - band
+    hi = jnp.max(ys, axis=1) + band
+    key = jnp.where(validb, lo, _BIG_LO)
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+    sk = key[perm]
+    maxext = jnp.max(jnp.where(validb, hi - lo, 0.0))
+
+    y_hi_t, y_lo_t = _tile_y_ranges(cfg)
+    pad_t = ng * g - nt
+    y_hi_g = jnp.max(jnp.pad(y_hi_t, (0, pad_t),
+                             constant_values=-np.inf).reshape(ng, g), axis=1)
+    y_lo_g = jnp.min(jnp.pad(y_lo_t, (0, pad_t),
+                             constant_values=np.inf).reshape(ng, g), axis=1)
+    e_g = jnp.searchsorted(sk, y_hi_g, side="right")
+    s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left")
+    max_range = jnp.max(jnp.maximum(e_g - s_g, 0))
+
+    f_rows = max(_round_up(f, 8), rw)
+    cs = jnp.clip(s_g, 0, f_rows - rw)
+
+    d = merged.shape[1]
+    merged_s = _permute_rows(merged, perm, inv_perm)
+    merged_s = jnp.concatenate(
+        [merged_s, jnp.zeros((f_rows - f, d), merged.dtype)], axis=0)
+    lo_pad = jnp.concatenate(
+        [sk, jnp.full((f_rows - f,), _BIG_LO, jnp.float32)])[:, None]
+    tab = jnp.concatenate([merged_s, lo_pad], axis=1)    # (f_rows, D+1)
+    gtabs = jnp.stack([
+        jax.lax.dynamic_slice(tab, (cs[i], 0), (rw, d + 1))
+        for i in range(ng)])                             # (ng, rw, D+1)
+
+    # Chunk activity: chunks are lo-ascending, so a chunk whose first row's
+    # lo exceeds the group's top y (or is the padding sentinel) holds no
+    # candidate for any of the group's tiles.
+    nchunks = (gtabs[:, ::_STREAM_CHUNK, d]
+               <= y_hi_g[:, None]).astype(jnp.int32)     # (ng, NC)
+    return gtabs, nchunks, max_range
+
+
+# ---------------------------------------------------------------------------
 # Fused value-and-grad: loss + every gradient in ONE kernel pass
 # ---------------------------------------------------------------------------
 
@@ -1811,40 +2492,44 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     f_pad = _round_up(max(f, 8), 8)
     f_real = f
     binned = False
+    stream = False
+    rw = 0
     hw = settings.image_size * settings.image_size
     p_tile = min(int(os.environ.get("PERTRENDERER_PTILE", "1024")),
                  _round_up(hw, 128))
     # Flat mode is exact when every face can hold a slot (no top-K
-    # truncation).  Larger meshes switch to bin-local face lists: slots are
-    # the <= M faces overlapping each tile — the `max_faces_per_bin`
-    # regime of the reference's binned kernel.  Semantics match the staged
-    # path whenever no tile overflows M and no pixel is covered by more
-    # than faces_per_pixel fragments (the blend is an exact no-op on
-    # zero-coverage slots either way).
+    # truncation).  Larger meshes stream their y-sorted candidate windows
+    # in chunks (exact at any coverage density, any image size); very
+    # large meshes (> _COARSE_THRESHOLD faces) use bin-local face lists —
+    # the `max_faces_per_bin` regime of the reference's binned kernel,
+    # with runtime overflow detection.
     if f > k or f_pad > MAX_SLOTS:
-        m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
-                MAX_BIN_SLOTS)
-        if m < 8:
-            return None
         if sample_axis is not None:
             return None    # sharded fused path is flat-mode only
-        binned = True
-        f_pad = _round_up(m, 8)
-        f_real = f_pad     # bin-local slots: all rows are live candidates
-        # Finest tile granularity: keeps the backward working set
-        # (~ slots x pixels) inside VMEM and maximizes x-binning + skip
-        # resolution.  (Semantics are p_tile-independent — the PRNG is
-        # keyed on absolute pixel position — so tests may shrink this.)
-        p_tile = _BIN_P_TILE
-        # Capacity gate: the M-slot budget is only guaranteed-ish in the
-        # sub-row regime where tiles are x-binned 2-D segments (measured: a
-        # 1280-face icosphere needs ~286 slots per full 128^2 row but ~70
-        # per half-row at 256^2).  Full-row or coarser tiles of large
-        # meshes overflow M and would silently drop far faces; the staged
-        # XLA path keeps exact semantics there.
-        if (p_tile >= settings.image_size
-                or settings.image_size % p_tile != 0):
-            return None
+        if (f <= _COARSE_THRESHOLD
+                and os.environ.get("PERTRENDERER_STREAM", "on") != "off"):
+            stream = True
+            rw = min(_STREAM_RW, _round_up(f, _STREAM_CHUNK))
+            f_pad = f_real = _STREAM_CHUNK
+            p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
+        else:
+            m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
+                    MAX_BIN_SLOTS)
+            if m < 8:
+                return None
+            binned = True
+            f_pad = _round_up(m, 8)
+            f_real = f_pad   # bin-local slots: all rows live
+            # Finest tile granularity: keeps the backward working set
+            # (~ slots x pixels) inside VMEM and maximizes x-binning +
+            # skip resolution.
+            p_tile = _BIN_P_TILE
+            # Capacity gate: the M-slot budget is only guaranteed-ish in
+            # the sub-row x-binned regime; elsewhere the staged XLA path
+            # keeps exact semantics.
+            if (p_tile >= settings.image_size
+                    or settings.image_size % p_tile != 0):
+                return None
     if settings.image_size > 2048:
         return None
 
@@ -1897,6 +2582,8 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         interpret=_fused_mode() == "interpret",
         binned=binned,
         prob_ext=sample_axis is not None,
+        stream=stream,
+        rw=rw,
     )
 
 
@@ -1911,6 +2598,32 @@ def _key_words(key):
         key.dtype, jax.dtypes.prng_key) else jnp.asarray(key)
     data = data.reshape(-1).astype(jnp.uint32)
     return data[0].astype(jnp.int32), data[-1].astype(jnp.int32)
+
+
+def _pack_scal(cfg, n, cameras, lights, materials, smoothrast, smoothagg,
+               blend_params, blur):
+    """The packed (N, 1, NS) scalar-parameter row shared by every kernel."""
+
+    def b3(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(x, (n, 3))
+
+    def b1(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(jnp.atleast_1d(x), (n,))
+
+    light_vec = (lights.location if cfg.light_kind == "point"
+                 else lights.direction)
+    return jnp.concatenate([
+        b3(light_vec), b3(lights.ambient_color), b3(lights.diffuse_color),
+        b3(lights.specular_color), b3(materials.ambient_color),
+        b3(materials.diffuse_color), b3(materials.specular_color),
+        b1(materials.shininess)[:, None], b3(cameras.camera_center()),
+        b3(jnp.asarray(blend_params.background_color, jnp.float32)),
+        b1(cameras.znear)[:, None], b1(cameras.zfar)[:, None],
+        b1(smoothrast.sigma)[:, None], b1(smoothagg.gamma)[:, None],
+        b1(smoothagg.alpha)[:, None], b1(blur)[:, None],
+    ], axis=1)[:, None, :]                               # (N, 1, NS)
 
 
 def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
@@ -1991,6 +2704,22 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
                 * (fv_ndc[..., 6] - fv_ndc[..., 0]))
         validf = validf & (area > 0)
 
+    if cfg.stream:
+        merged = jnp.concatenate([fv_ndc, fv_world, fn_world, tex_tab],
+                                 axis=-1)
+        validf_f = validf.astype(jnp.float32)
+        gtabs, nchunks, max_range = jax.vmap(
+            partial(_stream_tables, cfg),
+            in_axes=(0, 0, 0, None))(merged, fv_ndc, validf_f, blur)
+        _check_bin_overflow(cfg, settings, jnp.int32(0),
+                            jnp.max(max_range), range_limit=cfg.rw)
+        active = jax.vmap(
+            lambda v, va: _active_tiles(cfg, v, va[:, None], blur)
+        )(fv_ndc, validf_f)
+        scal = _pack_scal(cfg, n, cameras, lights, materials, smoothrast,
+                          smoothagg, blend_params, blur)
+        return gtabs, scal, nchunks, active, seeds
+
     if cfg.binned:
         from pertrenderer_tpu.ops.gather import take_rows
 
@@ -2025,26 +2754,8 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         validf = jnp.pad(validf, ((0, 0), (0, cfg.f_pad - f)))
         valid = validf.astype(jnp.float32)[..., None]    # (N, F_pad, 1)
 
-    def b3(x):
-        x = jnp.asarray(x, jnp.float32)
-        return jnp.broadcast_to(x, (n, 3))
-
-    def b1(x):
-        x = jnp.asarray(x, jnp.float32)
-        return jnp.broadcast_to(jnp.atleast_1d(x), (n,))
-
-    light_vec = (lights.location if cfg.light_kind == "point"
-                 else lights.direction)
-    scal = jnp.concatenate([
-        b3(light_vec), b3(lights.ambient_color), b3(lights.diffuse_color),
-        b3(lights.specular_color), b3(materials.ambient_color),
-        b3(materials.diffuse_color), b3(materials.specular_color),
-        b1(materials.shininess)[:, None], b3(cameras.camera_center()),
-        b3(jnp.asarray(blend_params.background_color, jnp.float32)),
-        b1(cameras.znear)[:, None], b1(cameras.zfar)[:, None],
-        b1(smoothrast.sigma)[:, None], b1(smoothagg.gamma)[:, None],
-        b1(smoothagg.alpha)[:, None], b1(blur)[:, None],
-    ], axis=1)[:, None, :]                               # (N, 1, NS)
+    scal = _pack_scal(cfg, n, cameras, lights, materials, smoothrast,
+                      smoothagg, blend_params, blur)
     return fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds
 
 
@@ -2066,6 +2777,8 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
     if cfg.prob_ext:
         out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
             *inputs)
+    elif cfg.stream:
+        out = jax.vmap(partial(_fused_core_stream, cfg))(*inputs)
     else:
         out = jax.vmap(partial(_fused_core, cfg))(*inputs)
     n = meshes.batch_size
@@ -2090,9 +2803,9 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
         return None
     cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 settings, shade)
-    if cfg is None or cfg.prob_ext:
-        # Sharded: the image loss needs the cross-device pmean'd image, so
-        # the caller renders via the sharded path and reduces in XLA.
+    if cfg is None or cfg.prob_ext or cfg.stream:
+        # Sharded / streaming: render via the forward+backward kernels and
+        # reduce the image loss in XLA (the caller falls back to that).
         return None
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,

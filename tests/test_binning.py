@@ -196,3 +196,168 @@ def test_bin_overflow_detection():
         fr._check_bin_overflow(cfg, settings_allow, jnp.max(counts), None)
         jax.effects_barrier()
     assert not rec2
+
+
+# ---------------------------------------------------------------------------
+# Streaming chunked mode (mid/high coverage, no slot caps)
+# ---------------------------------------------------------------------------
+
+def _stream_scene(imsize=64, k=50, perturb=False):
+    verts, faces = make_icosphere(3)
+    if perturb:                      # break the sphere's exact-depth ties
+        rng = np.random.RandomState(0)
+        verts = verts * (1.0 + 0.03 * rng.rand(*verts.shape).astype(
+            np.float32))
+    mesh = pt.Meshes.create(verts, faces, textures=pt.TexturesVertex(
+        jnp.linspace(0.2, 1.0, verts.shape[0] * 3).reshape(
+            1, verts.shape[0], 3)))
+    r, t = pt.look_at_view_transform(dist=2.7, elev=20.0, azim=40.0)
+    cams = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    settings = pt.RasterizationSettings(image_size=imsize, blur_radius=blur,
+                                        faces_per_pixel=k)
+    return mesh, cams, lights, settings, sigma, gamma
+
+
+def _stream_renderer(cams, lights, settings, sr, sa, sigma, gamma):
+    return pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cams,
+                                            raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            cameras=cams, lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.1, 0.2)),
+            smoothrast=sr, smoothagg=sa))
+
+
+def test_stream_mode_selected_and_matches_untruncated(monkeypatch):
+    """Mid-poly meshes (F > K) take the streaming path at ANY image size,
+    and reproduce the staged pipeline *without* top-K truncation exactly
+    for the deterministic menu entries (streaming processes every candidate
+    face — flat-mode slots-are-faces semantics at any density)."""
+    import os
+
+    from pertrenderer_tpu.ops import fused_render as fr
+    from pertrenderer_tpu.lights import Materials
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    mesh, cams, lights, settings, sigma, gamma = _stream_scene()
+    key = jax.random.PRNGKey(0)
+    big_k = pt.RasterizationSettings(
+        image_size=settings.image_size, blur_radius=settings.blur_radius,
+        faces_per_pixel=300)
+
+    for name, (sr, sa) in {
+        "softras": (pt.SoftRast.create(sigma=sigma),
+                    pt.SoftAgg.create(gamma=gamma)),
+        "uniform": (pt.AffineRast.create(sigma=sigma), pt.HardAgg.create()),
+    }.items():
+        cfg = fr._plan(mesh, cams, lights, Materials.create(), sr, sa,
+                       settings, "phong")
+        assert cfg is not None and cfg.stream, name
+        ren = _stream_renderer(cams, lights, settings, sr, sa, sigma, gamma)
+        a = np.asarray(ren(mesh, key=key))
+        os.environ["PERTRENDERER_FUSED"] = "off"
+        ren_big = _stream_renderer(cams, lights, big_k, sr, sa, sigma,
+                                   gamma)
+        b = np.asarray(ren_big(mesh, key=key))
+        os.environ["PERTRENDERER_FUSED"] = "interpret"
+        assert (b[..., 3] > 0.5).mean() > 0.2
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_stream_gradients_match_staged(monkeypatch):
+    """Streaming backward == staged autodiff (untruncated) for every
+    differentiated leaf, on a tie-free mesh."""
+    import os
+
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    mesh, cams, lights, _, sigma, gamma = _stream_scene(imsize=32,
+                                                        perturb=True)
+    key = jax.random.PRNGKey(0)
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+
+    def loss(log_rot, sig, gam, alp, feats, k, fused):
+        os.environ["PERTRENDERER_FUSED"] = "interpret" if fused else "off"
+        settings = pt.RasterizationSettings(image_size=32, blur_radius=blur,
+                                            faces_per_pixel=k)
+        ren = _stream_renderer(
+            cams, lights, settings, pt.SoftRast.create(sigma=sig),
+            pt.SoftAgg.create(gamma=gam, alpha=alp), sigma, gamma)
+        m = mesh.with_textures(pt.TexturesVertex(feats))
+        rot = so3_exp_map(log_rot)
+        pred = m.update_padded(Rotate(rot).transform_points(
+            m.verts_padded()))
+        img = ren(pred, key=key, cameras=cams, lights=lights)
+        tgt = jnp.linspace(0, 1, img.size).reshape(img.shape)
+        out = jnp.mean((img - tgt) ** 2)
+        os.environ["PERTRENDERER_FUSED"] = "interpret"
+        return out
+
+    feats0 = jnp.linspace(0.2, 1.0, mesh.max_verts * 3).reshape(
+        1, mesh.max_verts, 3)
+    args = (jnp.array([[0.1, -0.2, 0.3]]), jnp.asarray(sigma),
+            jnp.asarray(gamma), jnp.asarray(1.0), feats0)
+    gf = jax.grad(loss, argnums=tuple(range(5)))(*args, 50, True)
+    gx = jax.grad(loss, argnums=tuple(range(5)))(*args, 300, False)
+    for n, a, b in zip(["log_rot", "sigma", "gamma", "alpha", "feats"],
+                       gf, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-10)
+        assert np.abs(a - b).max() / scale < 2e-4, (n, a, b)
+
+
+def test_stream_cow_and_sphere128(monkeypatch):
+    """The two capability gaps streaming closes: the icosphere at 128^2
+    (full-row tiles — the M-binned mode cannot hold the candidate load)
+    and the cow-class mesh (few-k faces, far over M per tile).  MC render
+    + gradients must run fused-streamed and stay finite."""
+    from pertrenderer_tpu.ops import fused_render as fr
+    from pertrenderer_tpu.lights import Materials
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    key = jax.random.PRNGKey(1)
+
+    for scene, imsize in (("sphere", 128), ("cow", 48)):
+        if scene == "sphere":
+            verts, faces = make_icosphere(3)
+            mesh = pt.Meshes.create(verts, faces,
+                                    textures=pt.TexturesVertex(
+                                        jnp.ones((1, verts.shape[0], 3))))
+            dist = 2.7
+        else:
+            mesh = pt.make_cow()
+            dist = 2.4
+        r, t = pt.look_at_view_transform(dist=dist, elev=20.0, azim=40.0)
+        cams = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+        lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+        sigma, gamma = 1e-3, 1e-2
+        blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+        settings = pt.RasterizationSettings(image_size=imsize,
+                                            blur_radius=blur,
+                                            faces_per_pixel=50)
+        sr = pt.GaussianRast.create(sigma=sigma, nb_samples=2)
+        sa = pt.GaussianAgg.create(gamma=gamma, nb_samples=2)
+        cfg = fr._plan(mesh, cams, lights, Materials.create(), sr, sa,
+                       settings, "phong")
+        assert cfg is not None and cfg.stream, scene
+        ren = _stream_renderer(cams, lights, settings, sr, sa, sigma, gamma)
+
+        def loss(log_rot):
+            rot = so3_exp_map(log_rot)
+            pred = mesh.update_padded(Rotate(rot).transform_points(
+                mesh.verts_padded()))
+            img = ren(pred, key=key, cameras=cams, lights=lights)
+            return jnp.mean(img[..., :3] ** 2), img
+
+        (val, img), g = jax.value_and_grad(loss, has_aux=True)(
+            jnp.array([[0.05, -0.1, 0.2]]))
+        assert np.isfinite(np.asarray(img)).all()
+        assert (np.asarray(img)[..., 3] > 0.5).mean() > 0.02, scene
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0, scene

@@ -220,11 +220,20 @@ def test_eligibility_fallbacks():
                     settings, "phong")
     assert plan is not None
 
-    # top-K truncation active (F > faces_per_pixel): not fused-exact
+    # F > faces_per_pixel: streaming mode (exact, K-free); with streaming
+    # disabled this size has no binned fallback and returns to XLA
     import dataclasses
     small_k = dataclasses.replace(settings, faces_per_pixel=4)
-    assert fr._plan(mesh, cameras, lights, mats, sh.smoothrast, sh.smoothagg,
-                    small_k, "phong") is None
+    plan_k = fr._plan(mesh, cameras, lights, mats, sh.smoothrast,
+                      sh.smoothagg, small_k, "phong")
+    assert plan_k is not None and plan_k.stream
+    import os
+    os.environ["PERTRENDERER_STREAM"] = "off"
+    try:
+        assert fr._plan(mesh, cameras, lights, mats, sh.smoothrast,
+                        sh.smoothagg, small_k, "phong") is None
+    finally:
+        os.environ.pop("PERTRENDERER_STREAM", None)
 
     # UV texture without the baked-atlas fast path
     tex = mesh.textures
@@ -271,9 +280,12 @@ def test_binned_forward_and_gradient_parity(monkeypatch):
     a mesh too large for flat slots, forward and backward — including the
     take_rows scatter of per-tile table gradients back to faces.
 
+    Streaming handles this size by default; PERTRENDERER_STREAM=off keeps
+    the M-binned path under test (config-5-scale meshes still use it).
     Semantics are p_tile-independent (position-keyed PRNG), so the tile
     width is shrunk to keep the interpreter run fast.
     """
+    monkeypatch.setenv("PERTRENDERER_STREAM", "off")
     monkeypatch.setattr(fr, "_BIN_P_TILE", 32)
     mesh, cameras, lights, renderer = _build_sphere(imsize=64)
     cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
@@ -302,28 +314,16 @@ def test_binned_forward_and_gradient_parity(monkeypatch):
         assert np.abs(x - y).max() / max(np.abs(y).max(), 1e-12) < 1e-3, n
 
 
-def test_hierarchical_bin_ids_match_direct(monkeypatch):
-    """Coarse-to-fine bin selection (used past _COARSE_THRESHOLD faces)
-    produces bit-identical per-tile face lists to the direct top_k."""
-    mesh, cameras, lights, renderer = _build_sphere(imsize=256, subdiv=3)
+def test_binned_capacity_gate(monkeypatch):
+    """Configurations where the M-slot budget could silently drop faces now
+    run the streaming mode (exact at any density); with streaming disabled
+    they fall back to the staged XLA path as before."""
+    mesh, cameras, lights, renderer = _build_sphere(imsize=64)
     cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
                    renderer.shader.smoothrast, renderer.shader.smoothagg,
                    renderer.rasterizer.raster_settings, "phong")
-    assert cfg is not None and cfg.binned
-    verts_ndc = cameras.transform_points_ndc(mesh.verts)
-    fv = jax.vmap(fr._gather_rows)(verts_ndc, jnp.maximum(mesh.faces, 0))[0]
-    vc = jnp.ones(mesh.max_faces)
-    direct = np.asarray(fr._bin_face_ids(cfg, fv, vc))
-    monkeypatch.setattr(fr, "_COARSE_THRESHOLD", 100)
-    hier = np.asarray(fr._bin_face_ids(cfg, fv, vc))
-    np.testing.assert_array_equal(direct, hier)
-    assert (direct >= 0).sum() > 1000          # non-trivial scene
-
-
-def test_binned_capacity_gate():
-    """Coarse-tile configurations of large meshes (where the M-slot budget
-    could silently drop faces) stay on the staged XLA path."""
-    mesh, cameras, lights, renderer = _build_sphere(imsize=64)
+    assert cfg is not None and cfg.stream
+    monkeypatch.setenv("PERTRENDERER_STREAM", "off")
     cfg = fr._plan(mesh, cameras, lights, pt.Materials.create(),
                    renderer.shader.smoothrast, renderer.shader.smoothagg,
                    renderer.rasterizer.raster_settings, "phong")

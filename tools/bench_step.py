@@ -30,6 +30,13 @@ def build(image_size, k, s, scene, s_rast=None, s_agg=None):
 
     if scene == "cube":
         mesh = pt.load_cube().scale_verts(2.0)
+    elif scene == "cow":
+        mesh = pt.make_cow()
+        verts = mesh.verts[0]
+        center = verts.mean(0)
+        scale = jnp.max(jnp.abs(verts - center))
+        mesh = mesh.offset_verts(
+            -jnp.broadcast_to(center, verts.shape)).scale_verts(3.0 / scale)
     else:
         level = int(scene[6:]) if scene.startswith("sphere") and \
             scene[6:].isdigit() else 3

@@ -1029,8 +1029,13 @@ def _callbacks_supported() -> bool:
             def f(x):
                 jax.debug.callback(lambda v: None, x)
                 return x + 1.0
-            jax.block_until_ready(jax.jit(f)(jnp.zeros(())))
-            jax.effects_barrier()
+            # The check usually runs while tracing the caller's jit, where
+            # an inner jit would be INLINED (landing the callback in the
+            # outer program without ever raising here) — force an actual
+            # compile+execute of the probe.
+            with jax.ensure_compile_time_eval():
+                jax.block_until_ready(jax.jit(f)(jnp.zeros(())))
+                jax.effects_barrier()
             _CALLBACK_OK = True
         except Exception:
             _CALLBACK_OK = False

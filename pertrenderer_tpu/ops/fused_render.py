@@ -135,6 +135,11 @@ class FusedConfig:
                                # as a pmean'd input; fwd also emits weights
     stream: bool = False       # chunked streaming over y-sorted windows
     rw: int = 0                # streaming window rows (multiple of chunk)
+    tile_w: int = 0            # 2-D pixel tiles: each grid step covers a
+                               # (p_tile // tile_w, tile_w) image rectangle
+                               # instead of a row strip (0 = strips).  The
+                               # kernels' HBM pixel axis is then tile-major;
+                               # the public entries permute at the boundary.
 
     @property
     def bg_row(self) -> int:
@@ -195,7 +200,10 @@ def _hash_words(seed0, seed1, s, rows, pos):
 def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos, row_base=0):
     """(c, p) block of iid standard noise (c must be even — always true for
     the sublane-padded channel counts).  Gaussian uses both Box-Muller
-    outputs (cos and sin halves), halving the uniform-draw cost.
+    outputs (cos and sin halves), halving the uniform-draw cost.  (A
+    polynomial fast-math ln/sincos was tried and measured SLOWER than the
+    Mosaic builtins — 0.391 vs 0.380 ms/step on the headline config; the
+    ~60 us transcendental budget is already near the VPU floor.)
 
     ``row_base`` offsets the hashed channel ids — the streaming kernel
     draws chunk blocks whose rows key on window-local face indices."""
@@ -203,7 +211,7 @@ def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos, row_base=0):
         ch = c // 2
         rows = jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0) + row_base
         x = _hash_words(seed0, seed1, s, rows, pos)
-        u1 = _uniform01(_mix(x + jnp.int32(0x6A09E667)))
+        u1 = _uniform01(x)                       # x is already well mixed
         u2 = _uniform01(_mix(x + jnp.int32(-1150833019)))
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         th = (2.0 * np.pi) * u2
@@ -260,15 +268,29 @@ def _col(tab, i):
 
 
 def _tile_coords(cfg: FusedConfig, tile):
-    """Absolute pixel position (1, P) and NDC center coords for this tile."""
+    """Absolute pixel position (1, P) and NDC center coords for this tile.
+
+    2-D mode (cfg.tile_w > 0): the tile covers a (TH, TW) image rectangle
+    at grid position (tile // ntx, tile % ntx).  ``pos`` stays the absolute
+    row-major pixel id either way, so the PRNG streams (and the backward
+    replay) are independent of the tiling."""
     p = cfg.p_tile
     w = h = cfg.image_size
-    pos = tile * p + jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    colf = (pos % w).astype(jnp.float32)
-    rowf = (pos // w).astype(jnp.float32)
-    px = (w - 1.0 - 2.0 * colf) / w
-    py = (h - 1.0 - 2.0 * rowf) / h
-    pixvalid = pos < (h * w)
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    if cfg.tile_w:
+        tw = cfg.tile_w
+        ntx = w // tw
+        row = (tile // ntx) * (p // tw) + i // tw
+        col = (tile % ntx) * tw + i % tw
+        pos = row * w + col
+        pixvalid = jnp.full(i.shape, True)
+    else:
+        pos = tile * p + i
+        col = pos % w
+        row = pos // w
+        pixvalid = pos < (h * w)
+    px = (w - 1.0 - 2.0 * col.astype(jnp.float32)) / w
+    py = (h - 1.0 - 2.0 * row.astype(jnp.float32)) / h
     return pos, px, py, pixvalid
 
 
@@ -920,6 +942,35 @@ def _n_tiles(cfg: FusedConfig) -> int:
     return -(-hw // cfg.p_tile)
 
 
+def _to_tilemajor(cfg: FusedConfig, x):
+    """Permute a row-major pixel minor axis (..., H*W) into the 2-D tile
+    grid's tile-major order.  Identity for strip tiling (tile_w == 0, where
+    tiles ARE contiguous pixel ranges).  2-D mode guarantees exact cover
+    (H*W == n_tiles * p_tile)."""
+    if not cfg.tile_w:
+        return x
+    h = w = cfg.image_size
+    tw = cfg.tile_w
+    th = cfg.p_tile // tw
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (h // th, th, w // tw, tw))
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(lead + (h * w,))
+
+
+def _from_tilemajor(cfg: FusedConfig, x):
+    """Inverse of _to_tilemajor on the minor axis."""
+    if not cfg.tile_w:
+        return x
+    h = w = cfg.image_size
+    tw = cfg.tile_w
+    th = cfg.p_tile // tw
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (h // th, w // tw, th, tw))
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(lead + (h * w,))
+
+
 def _tile_ids(cfg: FusedConfig):
     return jnp.arange(_n_tiles(cfg), dtype=jnp.int32).reshape(-1, 1, 1)
 
@@ -948,19 +999,35 @@ def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
     ys = fv_ndc[:, 1::3]                                  # (F, 3)
     fy_min = jnp.min(ys, axis=1) - band
     fy_max = jnp.max(ys, axis=1) + band
+
+    def x_test(c0, ncols):
+        xs = fv_ndc[:, 0::3]
+        fx_min = jnp.min(xs, axis=1) - band
+        fx_max = jnp.max(xs, axis=1) + band
+        x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
+        x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + ncols - 1)) / w,
+                           jnp.float32)
+        return ((fx_min[None, :] <= x_hi[:, None])
+                & (fx_max[None, :] >= x_lo[:, None]))
+
+    if cfg.tile_w:
+        tw = cfg.tile_w
+        th, ntx = p // tw, w // tw
+        tids = np.arange(nt)
+        r0 = (tids // ntx) * th
+        y_hi = jnp.asarray((h - 1.0 - 2.0 * r0) / h, jnp.float32)
+        y_lo = jnp.asarray((h - 1.0 - 2.0 * (r0 + th - 1)) / h, jnp.float32)
+        overlap = ((fy_min[None, :] <= y_hi[:, None])
+                   & (fy_max[None, :] >= y_lo[:, None])
+                   & validb[None, :])
+        return overlap & x_test((tids % ntx) * tw, tw)
+
     y_hi, y_lo = _tile_y_ranges(cfg)
     overlap = ((fy_min[None, :] <= y_hi[:, None])
                & (fy_max[None, :] >= y_lo[:, None])
                & validb[None, :])
     if p < w and w % p == 0:
-        xs = fv_ndc[:, 0::3]
-        fx_min = jnp.min(xs, axis=1) - band
-        fx_max = jnp.max(xs, axis=1) + band
-        c0 = (np.arange(nt) * p) % w                      # first column
-        x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
-        x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + p - 1)) / w, jnp.float32)
-        overlap = overlap & ((fx_min[None, :] <= x_hi[:, None])
-                             & (fx_max[None, :] >= x_lo[:, None]))
+        overlap = overlap & x_test((np.arange(nt) * p) % w, p)
     return overlap
 
 
@@ -2500,8 +2567,8 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     stream = False
     rw = 0
     hw = settings.image_size * settings.image_size
-    p_tile = min(int(os.environ.get("PERTRENDERER_PTILE", "1024")),
-                 _round_up(hw, 128))
+    ptile_env = int(os.environ.get("PERTRENDERER_PTILE", "0"))
+    p_tile = min(ptile_env, _round_up(hw, 128)) if ptile_env else 0
     # Flat mode is exact when every face can hold a slot (no top-K
     # truncation).  Larger meshes stream their y-sorted candidate windows
     # in chunks (exact at any coverage density, any image size); very
@@ -2537,6 +2604,23 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 return None
     if settings.image_size > 2048:
         return None
+    if not binned and not stream and not p_tile:
+        # Flat-mode default: 2048 pixels per grid step halves the per-step
+        # overhead vs 1024 and still fits the loss kernel's scoped VMEM for
+        # small slot counts (measured: f_pad=16 at 4096 OOMs, 2048 fits).
+        p_tile = min(2048 if f_pad <= 16 else 1024, _round_up(hw, 128))
+
+    # Flat mode: 2-D (TH, TW) pixel tiles when the image divides evenly —
+    # the bbox activity prepass then skips background in both axes (a row
+    # strip through the object is mostly background left and right of it).
+    tile_w = 0
+    if not binned and not stream:
+        tw = 64
+        th = p_tile // tw if p_tile % tw == 0 else 0
+        if (th > 1 and settings.image_size > tw
+                and settings.image_size % tw == 0
+                and settings.image_size % th == 0):
+            tile_w = tw
 
     tex = meshes.textures
     if tex is None:
@@ -2589,6 +2673,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         prob_ext=sample_axis is not None,
         stream=stream,
         rw=rw,
+        tile_w=tile_w,
     )
 
 
@@ -2788,6 +2873,7 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
         out = jax.vmap(partial(_fused_core, cfg))(*inputs)
     n = meshes.batch_size
     hw = cfg.image_size * cfg.image_size
+    out = _from_tilemajor(cfg, out)
     rgba = out[:, :, :hw].reshape(n, 4, cfg.image_size, cfg.image_size)
     return jnp.moveaxis(rgba, 1, -1)
 
@@ -2821,6 +2907,7 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
     target = jnp.broadcast_to(jnp.asarray(target, jnp.float32),
                               (n, cfg.image_size, cfg.image_size, 3))
     tcm = jnp.moveaxis(target, -1, 1).reshape(n, 3, hw)
+    tcm = _to_tilemajor(cfg, tcm)        # scan-invariant: XLA hoists it
     tcm = jnp.pad(tcm, ((0, 0), (0, 0), (0, hwpad - hw)))
     lscale = jnp.full((n, 1, 1), 1.0 / (n * hw * 3), jnp.float32)
     losses = jax.vmap(partial(_fused_loss_core, cfg, loss_kind))(

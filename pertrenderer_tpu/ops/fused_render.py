@@ -1732,14 +1732,12 @@ def _stream_zmap(cfg, prob, z, maskf, scal):
 
 
 def _stream_chunk_iter(cfg, nchunk_ref, body, carry):
-    """fori over chunks with the per-chunk skip bit (chunks are lo-sorted,
-    so inactive chunks are either past the group's window or padding)."""
-
-    def chunk_body(c, carry):
-        return jax.lax.cond(nchunk_ref[0, c] > 0, lambda cr: body(c, cr),
-                            lambda cr: cr, carry)
-
-    return jax.lax.fori_loop(0, cfg.rw // _STREAM_CHUNK, chunk_body, carry)
+    """fori over the group's ACTIVE chunk prefix.  Chunks are lo-sorted, so
+    active chunks form a prefix of the window: the host passes their count
+    as a per-tile scalar and the loop's trip count is dynamic (Mosaic
+    lowers scalar bounds fine; dynamic per-chunk bit loads from VMEM lanes
+    do not lower)."""
+    return jax.lax.fori_loop(0, nchunk_ref[0, 0, 0], body, carry)
 
 
 def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
@@ -2135,15 +2133,14 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
 
 def _stream_specs(cfg: FusedConfig):
     g = _STREAM_GROUP
-    nc = cfg.rw // _STREAM_CHUNK
     df = 27 + cfg.tex_d + 1
     return [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # tile ids
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # active bits
-        pl.BlockSpec((1, nc), lambda i, g=g: (i // g, 0),
-                     memory_space=pltpu.VMEM),          # chunk bits
+        pl.BlockSpec((1, 1, 1), lambda i, g=g: (i // g, 0, 0),
+                     memory_space=pltpu.VMEM),          # chunk count
         _const_spec((1, 8)),                            # seeds
         pl.BlockSpec((1, cfg.rw, df), lambda i, g=g: (i // g, 0, 0),
                      memory_space=pltpu.VMEM),          # window tables
@@ -2214,8 +2211,8 @@ _fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
 def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
     """Window tables for streaming mode: y-sorted faces, one contiguous
     window slice per _STREAM_GROUP tiles with a trailing sort-key column
-    (doubles as the validity/padding sentinel), plus per-(group, chunk)
-    activity bits.  Differentiable w.r.t. ``merged`` (permutation-gather +
+    (doubles as the validity/padding sentinel), plus the per-group count of
+    active (prefix) chunks.  Differentiable w.r.t. ``merged`` (permutation-gather +
     dynamic-slice VJPs — no scalar scatters)."""
     nt = _n_tiles(cfg)
     g = _STREAM_GROUP
@@ -2261,9 +2258,11 @@ def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
 
     # Chunk activity: chunks are lo-ascending, so a chunk whose first row's
     # lo exceeds the group's top y (or is the padding sentinel) holds no
-    # candidate for any of the group's tiles.
-    nchunks = (gtabs[:, ::_STREAM_CHUNK, d]
-               <= y_hi_g[:, None]).astype(jnp.int32)     # (ng, NC)
+    # candidate for any of the group's tiles — active chunks are a PREFIX
+    # of the window, so their count is all the kernel needs.
+    nchunks = jnp.sum((gtabs[:, ::_STREAM_CHUNK, d]
+                       <= y_hi_g[:, None]).astype(jnp.int32),
+                      axis=1).reshape(ng, 1, 1)          # (ng, 1, 1)
     return gtabs, nchunks, max_range
 
 

@@ -1667,7 +1667,8 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 
 _STREAM_CHUNK = 128       # faces per streamed chunk
 _STREAM_GROUP = 8         # tiles sharing one window table block
-_STREAM_RW = 2048         # max window rows (range overflow is detected)
+_STREAM_TABLE_BYTES = 2 * 1024 * 1024   # VMEM budget for one (rw, D+1)
+                                        # window block (fwd table / bwd grads)
 _BIG_LO = 1e30            # lo sentinel for invalid/padding rows
 
 
@@ -1684,16 +1685,24 @@ def _prod_rows(x):
 
 
 def _row_at(x, s):
-    """Row s of (S, P); static fast path for the unrolled sample loop."""
+    """Row s of (S, P); static fast path for the unrolled sample loop.
+    Traced s (rolled loops, S > _UNROLL) uses an iota-masked reduction —
+    Mosaic has no value-level dynamic_slice."""
     if isinstance(s, int):
         return x[s:s + 1]
-    return jax.lax.dynamic_slice_in_dim(x, s, 1, axis=0)
+    hot = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == s
+    return jnp.sum(jnp.where(hot, x, 0.0), axis=0, keepdims=True)
 
 
 def _row_set(x, s, v):
     if isinstance(s, int):
-        return jnp.concatenate([x[:s], v, x[s + 1:]], axis=0)
-    return jax.lax.dynamic_update_slice_in_dim(x, v, s, axis=0)
+        # No empty concat operands: Mosaic rejects zero-row vector types.
+        parts = ([x[:s]] if s > 0 else []) + [v] \
+            + ([x[s + 1:]] if s + 1 < x.shape[0] else [])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+    hot = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == s
+    return jnp.where(hot, v, x)     # v (1, P) broadcasts over the rows
 
 
 def _first_hot_rows(val):
@@ -2580,7 +2589,14 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         if (f <= _COARSE_THRESHOLD
                 and os.environ.get("PERTRENDERER_STREAM", "on") != "off"):
             stream = True
-            rw = min(_STREAM_RW, _round_up(f, _STREAM_CHUNK))
+            # The window must cover the WHOLE sorted table: the searchsorted
+            # start bound subtracts the global max face extent, so a wide
+            # blur band (or one long face) legitimately pulls most of the
+            # mesh into a group's range — a fixed 2048-row cap silently
+            # truncated the cow-class mesh at every image size (measured
+            # max_range 4086-5120).  Exactness over capacity: rw = f_rows;
+            # the prefix chunk count still prunes dead trailing chunks.
+            rw = _round_up(f, _STREAM_CHUNK)
             f_pad = f_real = _STREAM_CHUNK
             p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
         else:
@@ -2639,6 +2655,11 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             return None
         tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
     else:
+        return None
+
+    if stream and rw * (28 + tex_d) * 4 > _STREAM_TABLE_BYTES:
+        # The (rw, D+1) window block must fit VMEM alongside the kernel's
+        # compute buffers (and the backward's same-shape gradient block).
         return None
 
     if isinstance(lights, PointLights):

@@ -361,3 +361,72 @@ def test_stream_cow_and_sphere128(monkeypatch):
         assert (np.asarray(img)[..., 3] > 0.5).mean() > 0.02, scene
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0, scene
+
+
+def test_stream_rolled_sample_loops_match_unrolled(monkeypatch):
+    """Rolled (fori_loop) sample loops — the S > _UNROLL regime the harness
+    reaches once annealing doubles nb_samples past 16 — must reproduce the
+    unrolled straight-line loops.  Exercises the traced-index `_row_at` /
+    `_row_set` lowering (iota-masked select; Mosaic has no value-level
+    dynamic_slice) inside the streaming kernels."""
+    import os
+
+    from pertrenderer_tpu.ops import fused_render as fr
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    mesh, cams, lights, settings, sigma, gamma = _stream_scene(imsize=32,
+                                                               perturb=True)
+    key = jax.random.PRNGKey(2)
+    sr = pt.GaussianRast.create(sigma=sigma, nb_samples=4)
+    sa = pt.GaussianAgg.create(gamma=gamma, nb_samples=4)
+    ren = _stream_renderer(cams, lights, settings, sr, sa, sigma, gamma)
+
+    def loss(log_rot):
+        rot = so3_exp_map(log_rot)
+        pred = mesh.update_padded(Rotate(rot).transform_points(
+            mesh.verts_padded()))
+        img = ren(pred, key=key, cameras=cams, lights=lights)
+        return jnp.mean(img[..., :3] ** 2), img
+
+    lr = jnp.array([[0.05, -0.1, 0.2]])
+    (v_un, img_un), g_un = jax.value_and_grad(loss, has_aux=True)(lr)
+    monkeypatch.setattr(fr, "_UNROLL", 0)       # force fori_loop everywhere
+    (v_ro, img_ro), g_ro = jax.value_and_grad(loss, has_aux=True)(lr)
+
+    np.testing.assert_array_equal(np.asarray(img_un), np.asarray(img_ro))
+    np.testing.assert_allclose(np.asarray(g_un), np.asarray(g_ro),
+                               rtol=0, atol=1e-6)
+    assert float(jnp.abs(g_ro).sum()) > 0
+
+
+def test_stream_cow_window_covers_mesh(monkeypatch):
+    """Regression: the y-sorted window must hold every candidate face.
+    With the old fixed 2048-row cap the cow-class mesh overflowed at every
+    image size (the searchsorted start bound subtracts the global max face
+    extent, pulling ~4100-5120 rows into each group's range), silently
+    truncating ~27%% of covered pixels.  Hard-mode streaming must now match
+    the staged path exactly."""
+    import os
+
+    monkeypatch.setenv("PERTRENDERER_FUSED", "interpret")
+    mesh = pt.make_cow()
+    verts = mesh.verts[0]
+    center = verts.mean(0)
+    scale = jnp.max(jnp.abs(verts - center))
+    mesh = mesh.offset_verts(
+        -jnp.broadcast_to(center, verts.shape)).scale_verts(3.0 / scale)
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cams = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    settings = pt.RasterizationSettings(image_size=48, blur_radius=0.0,
+                                        faces_per_pixel=50)
+    sr, sa = pt.HardRast.create(), pt.HardAgg.create()
+    ren = _stream_renderer(cams, lights, settings, sr, sa, 1e-5, 1e-5)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(ren(mesh, key=key, cameras=cams, lights=lights))
+    os.environ["PERTRENDERER_FUSED"] = "off"
+    b = np.asarray(ren(mesh, key=key, cameras=cams, lights=lights))
+    os.environ["PERTRENDERER_FUSED"] = "interpret"
+    assert (b[..., 3] > 0.5).mean() > 0.1
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -1667,8 +1667,6 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 
 _STREAM_CHUNK = 128       # faces per streamed chunk
 _STREAM_GROUP = 8         # tiles sharing one window table block
-_STREAM_TABLE_BYTES = 2 * 1024 * 1024   # VMEM budget for one (rw, D+1)
-                                        # window block (fwd table / bwd grads)
 _BIG_LO = 1e30            # lo sentinel for invalid/padding rows
 
 
@@ -1749,12 +1747,14 @@ def _stream_chunk_iter(cfg, nchunk_ref, body, carry):
     return jax.lax.fori_loop(0, nchunk_ref[0, 0, 0], body, carry)
 
 
-def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
-                           gtab_ref, scal_ref, out_ref, *, cfg):
+def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
+                           seeds_ref, tab_hbm, scal_ref, out_ref,
+                           scratch, sem, *, cfg):
     tile = tile_ref[0, 0, 0]
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
     scal = scal_ref[:]
     ch, p = _STREAM_CHUNK, cfg.p_tile
+    start = start_ref[0, 0, 0]
     gamma = scal[0, _S_GAMMA]
     sigma = scal[0, _S_SIGMA]
     s_agg = cfg.s_agg if cfg.agg_kind == "mc" else 1
@@ -1782,7 +1782,11 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
             st0 = (jnp.ones((1, p), jnp.float32), runmax, winc)
 
         def body(c, st):
-            blk = gtab_ref[0, pl.ds(c * ch, ch), :]
+            cp = pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(start + c * ch, ch), :], scratch, sem)
+            cp.start()
+            cp.wait()
+            blk = scratch[:]
             dist, z, c0, c1, c2, maskf = _stream_chunk_det(
                 cfg, px, py, pixvalid, scal, blk)
             if cfg.rast_kind == "mc":
@@ -1849,14 +1853,16 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
                               lambda _: _bg_image(cfg, scal), None)
 
 
-def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
-                            gtab_ref, scal_ref, g_out_ref, g_gtab_ref,
-                            g_scal_ref, *, cfg):
+def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
+                            seeds_ref, tab_hbm, scal_ref, g_out_ref,
+                            gz_hbm, g_gtab_hbm, g_scal_ref,
+                            scratch, gscr, sem, sem2, *, cfg):
     tile = tile_ref[0, 0, 0]
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
     scal = scal_ref[:]
     g_rgba = g_out_ref[:]
     ch, p, rw = _STREAM_CHUNK, cfg.p_tile, cfg.rw
+    start = start_ref[0, 0, 0]
     gamma = scal[0, _S_GAMMA]
     sigma = scal[0, _S_SIGMA]
     td = cfg.tex_d
@@ -1868,13 +1874,15 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
     bgc = [jnp.full((1, p), scal[0, _S_BG + c]) for c in range(3)]
     cols_ns = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
 
-    # First tile of each group owns zeroing the revisited gradient block.
-    @pl.when(tile % _STREAM_GROUP == 0)
-    def _zero_block():
-        g_gtab_ref[:] = jnp.zeros_like(g_gtab_ref)
-
+    # The gradient table lives in HBM (aliased to a zeros input); chunks
+    # accumulate by read-modify-write.  The TPU grid is sequential, so the
+    # RMW is race-free across tiles.
     def chunk_blk(c):
-        return gtab_ref[0, pl.ds(c * ch, ch), :]
+        cp = pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(start + c * ch, ch), :], scratch, sem)
+        cp.start()
+        cp.wait()
+        return scratch[:]
 
     def agg_noise(s, c):
         return _draw_block(cfg.agg_noise, seeds_ref[0, 2], seeds_ref[0, 3],
@@ -2113,9 +2121,16 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
                  jnp.zeros_like(maskf)))
             gblk = jnp.concatenate(
                 [g_ndc, g_world, g_fn, g_tex,
-                 jnp.zeros((ch, 1), jnp.float32)], axis=1)
-            cur = g_gtab_ref[0, pl.ds(c * ch, ch), :]
-            g_gtab_ref[0, pl.ds(c * ch, ch), :] = cur + gblk
+                 jnp.zeros((ch, gscr.shape[1] - df + 1), jnp.float32)],
+                axis=1)
+            rows = g_gtab_hbm.at[pl.ds(start + c * ch, ch), :]
+            rd = pltpu.make_async_copy(rows, gscr, sem2)
+            rd.start()
+            rd.wait()
+            gscr[:] = gscr[:] + gblk
+            wr = pltpu.make_async_copy(gscr, rows, sem2)
+            wr.start()
+            wr.wait()
             return (g_scal_acc + g_scal_z + g_scal_c + g_scal_r + g_scal_1)
 
         g_scal = _stream_chunk_iter(cfg, nchunk_ref, body2, g_scal)
@@ -2142,7 +2157,6 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, seeds_ref,
 
 def _stream_specs(cfg: FusedConfig):
     g = _STREAM_GROUP
-    df = 27 + cfg.tex_d + 1
     return [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # tile ids
@@ -2150,15 +2164,17 @@ def _stream_specs(cfg: FusedConfig):
                      memory_space=pltpu.VMEM),          # active bits
         pl.BlockSpec((1, 1, 1), lambda i, g=g: (i // g, 0, 0),
                      memory_space=pltpu.VMEM),          # chunk count
+        pl.BlockSpec((1, 1, 1), lambda i, g=g: (i // g, 0, 0),
+                     memory_space=pltpu.VMEM),          # window start row
         _const_spec((1, 8)),                            # seeds
-        pl.BlockSpec((1, cfg.rw, df), lambda i, g=g: (i // g, 0, 0),
-                     memory_space=pltpu.VMEM),          # window tables
+        pl.BlockSpec(memory_space=pl.ANY),           # sorted face table
         _const_spec((1, _NS)),                          # scal
     ]
 
 
-def _pallas_stream_forward(cfg, gtabs, nchunks, active, scal, seeds):
+def _pallas_stream_forward(cfg, tab, nchunks, starts, active, scal, seeds):
     nt = _n_tiles(cfg)
+    df = _round_up(27 + cfg.tex_d + 1, 128)
     return pl.pallas_call(
         partial(_stream_forward_kernel, cfg=cfg),
         grid=(nt,),
@@ -2166,50 +2182,64 @@ def _pallas_stream_forward(cfg, gtabs, nchunks, active, scal, seeds):
         out_specs=pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, nchunks, seeds, gtabs, scal)
+    )(_tile_ids(cfg), active, nchunks, starts, seeds, tab, scal)
 
 
-def _pallas_stream_backward(cfg, gtabs, nchunks, active, scal, seeds, g_out):
+def _pallas_stream_backward(cfg, tab, nchunks, starts, active, scal, seeds,
+                            g_out):
     nt = _n_tiles(cfg)
-    g = _STREAM_GROUP
-    ng = gtabs.shape[0]
-    df = 27 + cfg.tex_d + 1
+    df = _round_up(27 + cfg.tex_d + 1, 128)
     return pl.pallas_call(
         partial(_stream_backward_kernel, cfg=cfg),
         grid=(nt,),
         in_specs=_stream_specs(cfg) + [
             pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, cfg.rw, df), lambda i, g=g: (i // g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # grad-table zeros
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),       # grad table (HBM)
             _const_spec((1, _NS)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ng, cfg.rw, df), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.rw, df), jnp.float32),
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
+            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={8: 0},
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, nchunks, seeds, gtabs, scal, g_out)
+    )(_tile_ids(cfg), active, nchunks, starts, seeds, tab, scal, g_out,
+      jnp.zeros((cfg.rw, df), jnp.float32))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_core_stream(cfg, gtabs, scal, nchunks, active, seeds):
-    return _pallas_stream_forward(cfg, gtabs, nchunks, active, scal, seeds)
+def _fused_core_stream(cfg, tab, scal, nchunks, starts, active, seeds):
+    return _pallas_stream_forward(cfg, tab, nchunks, starts, active, scal,
+                                  seeds)
 
 
-def _fcstream_fwd(cfg, gtabs, scal, nchunks, active, seeds):
-    out = _fused_core_stream(cfg, gtabs, scal, nchunks, active, seeds)
-    return out, (gtabs, scal, nchunks, active, seeds)
+def _fcstream_fwd(cfg, tab, scal, nchunks, starts, active, seeds):
+    out = _fused_core_stream(cfg, tab, scal, nchunks, starts, active, seeds)
+    return out, (tab, scal, nchunks, starts, active, seeds)
 
 
 def _fcstream_bwd(cfg, res, g):
-    gtabs, scal, nchunks, active, seeds = res
-    g_gtabs, g_scal = _pallas_stream_backward(cfg, gtabs, nchunks, active,
-                                              scal, seeds, g)
-    return (g_gtabs, g_scal,
+    tab, scal, nchunks, starts, active, seeds = res
+    g_tab, g_scal = _pallas_stream_backward(cfg, tab, nchunks, starts,
+                                            active, scal, seeds, g)
+    return (g_tab, g_scal,
             np.zeros(nchunks.shape, jax.dtypes.float0),
+            np.zeros(starts.shape, jax.dtypes.float0),
             np.zeros(active.shape, jax.dtypes.float0),
             np.zeros(seeds.shape, jax.dtypes.float0))
 
@@ -2218,15 +2248,17 @@ _fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
 
 
 def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
-    """Window tables for streaming mode: y-sorted faces, one contiguous
-    window slice per _STREAM_GROUP tiles with a trailing sort-key column
-    (doubles as the validity/padding sentinel), plus the per-group count of
-    active (prefix) chunks.  Differentiable w.r.t. ``merged`` (permutation-gather +
-    dynamic-slice VJPs — no scalar scatters)."""
+    """Streaming-mode table: ONE y-sorted face table (kept in HBM by the
+    kernels, which DMA _STREAM_CHUNK-row blocks on demand) with a trailing
+    sort-key column (doubles as the validity/padding sentinel), plus each
+    tile group's chunk-aligned window start and chunk count.  Windows are
+    exact for any F — VMEM holds only one chunk, never the window.
+    Differentiable w.r.t. ``merged`` (permutation-gather VJP — no scalar
+    scatters)."""
     nt = _n_tiles(cfg)
     g = _STREAM_GROUP
     ng = -(-nt // g)
-    rw = cfg.rw
+    ch = _STREAM_CHUNK
     f = fv_ndc.shape[0]
     band = jnp.sqrt(jnp.maximum(blur, 0.0))
 
@@ -2247,32 +2279,29 @@ def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
                              constant_values=-np.inf).reshape(ng, g), axis=1)
     y_lo_g = jnp.min(jnp.pad(y_lo_t, (0, pad_t),
                              constant_values=np.inf).reshape(ng, g), axis=1)
-    e_g = jnp.searchsorted(sk, y_hi_g, side="right")
-    s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left")
-    max_range = jnp.max(jnp.maximum(e_g - s_g, 0))
+    # Rows past e_g have lo > the group's top y (no overlap); rows before
+    # s_g have hi < lo + maxext < the group's bottom y (no overlap).  The
+    # chunk-alignment slop on both sides is an exact no-op: out-of-band
+    # faces get prob = 0 from the coverage test itself.
+    e_g = jnp.searchsorted(sk, y_hi_g, side="right").astype(jnp.int32)
+    s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left").astype(jnp.int32)
+    starts = (jnp.maximum(s_g, 0) // ch) * ch
+    nchunks = jnp.maximum(-(-(e_g - starts) // ch), 0)
 
-    f_rows = max(_round_up(f, 8), rw)
-    cs = jnp.clip(s_g, 0, f_rows - rw)
-
+    f_rows = cfg.rw                                      # round_up(f, chunk)
     d = merged.shape[1]
     merged_s = _permute_rows(merged, perm, inv_perm)
     merged_s = jnp.concatenate(
         [merged_s, jnp.zeros((f_rows - f, d), merged.dtype)], axis=0)
     lo_pad = jnp.concatenate(
         [sk, jnp.full((f_rows - f,), _BIG_LO, jnp.float32)])[:, None]
-    tab = jnp.concatenate([merged_s, lo_pad], axis=1)    # (f_rows, D+1)
-    gtabs = jnp.stack([
-        jax.lax.dynamic_slice(tab, (cs[i], 0), (rw, d + 1))
-        for i in range(ng)])                             # (ng, rw, D+1)
-
-    # Chunk activity: chunks are lo-ascending, so a chunk whose first row's
-    # lo exceeds the group's top y (or is the padding sentinel) holds no
-    # candidate for any of the group's tiles — active chunks are a PREFIX
-    # of the window, so their count is all the kernel needs.
-    nchunks = jnp.sum((gtabs[:, ::_STREAM_CHUNK, d]
-                       <= y_hi_g[:, None]).astype(jnp.int32),
-                      axis=1).reshape(ng, 1, 1)          # (ng, 1, 1)
-    return gtabs, nchunks, max_range
+    # Chunk DMA slices must be lane-aligned: pad columns to a multiple of
+    # 128 (Mosaic rejects partial-lane slices of an HBM-resident table).
+    dfp = _round_up(d + 1, 128)
+    tab = jnp.concatenate(
+        [merged_s, lo_pad,
+         jnp.zeros((f_rows, dfp - d - 1), jnp.float32)], axis=1)
+    return tab, starts.reshape(ng, 1, 1), nchunks.reshape(ng, 1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -2589,13 +2618,9 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         if (f <= _COARSE_THRESHOLD
                 and os.environ.get("PERTRENDERER_STREAM", "on") != "off"):
             stream = True
-            # The window must cover the WHOLE sorted table: the searchsorted
-            # start bound subtracts the global max face extent, so a wide
-            # blur band (or one long face) legitimately pulls most of the
-            # mesh into a group's range — a fixed 2048-row cap silently
-            # truncated the cow-class mesh at every image size (measured
-            # max_range 4086-5120).  Exactness over capacity: rw = f_rows;
-            # the prefix chunk count still prunes dead trailing chunks.
+            # The kernels DMA _STREAM_CHUNK-row blocks from the HBM-resident
+            # sorted table, so window extent never touches VMEM — rw is just
+            # the table's padded row count (and the PRNG background row).
             rw = _round_up(f, _STREAM_CHUNK)
             f_pad = f_real = _STREAM_CHUNK
             p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
@@ -2655,11 +2680,6 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             return None
         tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
     else:
-        return None
-
-    if stream and rw * (28 + tex_d) * 4 > _STREAM_TABLE_BYTES:
-        # The (rw, D+1) window block must fit VMEM alongside the kernel's
-        # compute buffers (and the backward's same-shape gradient block).
         return None
 
     if isinstance(lights, PointLights):
@@ -2818,17 +2838,15 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         merged = jnp.concatenate([fv_ndc, fv_world, fn_world, tex_tab],
                                  axis=-1)
         validf_f = validf.astype(jnp.float32)
-        gtabs, nchunks, max_range = jax.vmap(
+        tab, starts, nchunks = jax.vmap(
             partial(_stream_tables, cfg),
             in_axes=(0, 0, 0, None))(merged, fv_ndc, validf_f, blur)
-        _check_bin_overflow(cfg, settings, jnp.int32(0),
-                            jnp.max(max_range), range_limit=cfg.rw)
         active = jax.vmap(
             lambda v, va: _active_tiles(cfg, v, va[:, None], blur)
         )(fv_ndc, validf_f)
         scal = _pack_scal(cfg, n, cameras, lights, materials, smoothrast,
                           smoothagg, blend_params, blur)
-        return gtabs, scal, nchunks, active, seeds
+        return tab, scal, nchunks, starts, active, seeds
 
     if cfg.binned:
         from pertrenderer_tpu.ops.gather import take_rows
@@ -2888,7 +2906,14 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
         out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
             *inputs)
     elif cfg.stream:
-        out = jax.vmap(partial(_fused_core_stream, cfg))(*inputs)
+        # ANY-space (HBM) table blocks cannot be vmapped over; the batch
+        # runs as a sequential lax.map (stream meshes are heavy enough that
+        # per-element kernel launches dominate anyway).
+        core = partial(_fused_core_stream, cfg)
+        if meshes.batch_size == 1:
+            out = core(*(x[0] for x in inputs))[None]
+        else:
+            out = jax.lax.map(lambda xs: core(*xs), tuple(inputs))
     else:
         out = jax.vmap(partial(_fused_core, cfg))(*inputs)
     n = meshes.batch_size

@@ -21,13 +21,24 @@ __all__ = [
 
 
 def mesh_laplacian_smoothing(meshes, method: str = "uniform") -> jnp.ndarray:
-    """Uniform Laplacian smoothing: mean_v || mean_{u in N(v)} u - v ||.
+    """Laplacian smoothing with PyTorch3D's three weighting ``method``s.
 
-    Matches PyTorch3D's ``mesh_laplacian_smoothing(..., method="uniform")``
-    used as the deform regularizer at `/root/reference/experiments/eval.py:455`.
+    - ``uniform``: mean_v || mean_{u in N(v)} u - v || — the variant the
+      reference exercises as the deform regularizer
+      (`/root/reference/experiments/eval.py:455`).
+    - ``cot``: cotangent-weighted neighbor mean, || (L x)_v / rowsum_v - x_v ||.
+    - ``cotcurv``: discrete mean-curvature magnitude,
+      || (L x - rowsum * x)_v || * 0.25 / A_v with A_v the summed incident
+      face area.
+
+    Laplacian weights are built under ``stop_gradient`` (PyTorch3D computes
+    them inside ``torch.no_grad()``), so gradients flow only through the
+    smoothed positions.
     """
-    if method != "uniform":
-        raise NotImplementedError("only the uniform Laplacian is supported")
+    if method not in ("uniform", "cot", "cotcurv"):
+        raise NotImplementedError(f"unknown Laplacian method {method!r}")
+    if method in ("cot", "cotcurv"):
+        return _cot_laplacian_smoothing(meshes, method)
     verts = meshes.verts                    # (N, V, 3)
     faces = jnp.maximum(meshes.faces, 0)    # (N, F, 3)
     fmask = meshes.faces_mask()             # (N, F)
@@ -53,6 +64,69 @@ def mesh_laplacian_smoothing(meshes, method: str = "uniform") -> jnp.ndarray:
         return jnp.sum(norm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     per_mesh = jax.vmap(_one)(verts, faces, fmask, meshes.num_verts)
+    return jnp.mean(per_mesh)
+
+
+def _cot_laplacian_smoothing(meshes, method: str) -> jnp.ndarray:
+    """Cotangent Laplacian smoothing (PyTorch3D ``method="cot"/"cotcurv"``).
+
+    Per face with corner vertices (v0, v1, v2) and opposite edge lengths
+    (a, b, c), the corner cotangents are cot_0 = (b^2+c^2-a^2)/(4*area)
+    etc.; edge (v1, v2) receives weight cot_0 / 4 from each incident face
+    (symmetrized), matching PyTorch3D's ``cot_laplacian``.
+    """
+    verts = meshes.verts                    # (N, V, 3)
+    faces = jnp.maximum(meshes.faces, 0)    # (N, F, 3)
+    fmask = meshes.faces_mask()             # (N, F)
+    v_count = verts.shape[1]
+
+    def _one(verts_n, faces_n, fmask_n):
+        x = jax.lax.stop_gradient(verts_n)
+        v0, v1, v2 = (x[faces_n[:, i]] for i in range(3))
+        a = jnp.linalg.norm(v1 - v2, axis=-1)   # opposite v0
+        b = jnp.linalg.norm(v0 - v2, axis=-1)   # opposite v1
+        c = jnp.linalg.norm(v0 - v1, axis=-1)   # opposite v2
+        s = 0.5 * (a + b + c)
+        area = jnp.sqrt(
+            jnp.maximum(s * (s - a) * (s - b) * (s - c), 1e-12))
+        a2, b2, c2 = a * a, b * b, c * c
+        # Corner cotangents / 4 (the 1/4 folds PyTorch3D's `cot /= 4.0`).
+        w = fmask_n.astype(x.dtype)
+        cot0 = (b2 + c2 - a2) / (4.0 * area) * w
+        cot1 = (a2 + c2 - b2) / (4.0 * area) * w
+        cot2 = (a2 + b2 - c2) / (4.0 * area) * w
+        # Edge (i, j) opposite each corner, both directions (symmetrized L).
+        src = jnp.concatenate([faces_n[:, 1], faces_n[:, 2],
+                               faces_n[:, 2], faces_n[:, 0],
+                               faces_n[:, 0], faces_n[:, 1]])
+        dst = jnp.concatenate([faces_n[:, 2], faces_n[:, 1],
+                               faces_n[:, 0], faces_n[:, 2],
+                               faces_n[:, 1], faces_n[:, 0]])
+        wgt = jnp.concatenate([cot0, cot0, cot1, cot1, cot2, cot2])
+        # L x (off-diagonal only, like the sparse matrix) and its row sums —
+        # gradients flow through verts_n here, weights are stopped above.
+        lx = jax.ops.segment_sum(wgt[:, None] * verts_n[dst], src,
+                                 num_segments=v_count)
+        rowsum = jax.ops.segment_sum(wgt, src, num_segments=v_count)
+        if method == "cot":
+            # norm_w = 1/rowsum where rowsum > 0 (else kept as-is).
+            norm_w = jnp.where(rowsum > 0, 1.0 / jnp.maximum(rowsum, 1e-30),
+                               rowsum)
+            lap = lx * norm_w[:, None] - verts_n
+        else:
+            # Summed incident face area per vertex, inverted where > 0.
+            fidx = faces_n.reshape(-1)
+            aval = jnp.repeat(area * w, 3)
+            varea = jax.ops.segment_sum(aval, fidx, num_segments=v_count)
+            inv_area = jnp.where(varea > 0,
+                                 1.0 / jnp.maximum(varea, 1e-30), 0.0)
+            lap = (lx - rowsum[:, None] * verts_n) * (
+                0.25 * inv_area)[:, None]
+        norm = jnp.linalg.norm(lap, axis=-1)
+        valid = (rowsum != 0).astype(norm.dtype)
+        return jnp.sum(norm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    per_mesh = jax.vmap(_one)(verts, faces, fmask)
     return jnp.mean(per_mesh)
 
 

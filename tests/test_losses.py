@@ -76,3 +76,80 @@ def test_knn_matches_numpy():
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx)[0],
                                   np.argsort(full, axis=1)[:, :3])
+
+
+def _cot_laplacian_oracle(verts, faces, method):
+    """Dense-matrix transcription of PyTorch3D's cot_laplacian +
+    mesh_laplacian_smoothing (pytorch3d/ops/laplacian_matrices.py,
+    loss/mesh_laplacian_smoothing.py) as an independent oracle."""
+    V = verts.shape[0]
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    A = np.linalg.norm(v1 - v2, axis=1)
+    B = np.linalg.norm(v0 - v2, axis=1)
+    C = np.linalg.norm(v0 - v1, axis=1)
+    s = 0.5 * (A + B + C)
+    area = np.sqrt(np.maximum(s * (s - A) * (s - B) * (s - C), 1e-12))
+    A2, B2, C2 = A * A, B * B, C * C
+    cot = np.stack([(B2 + C2 - A2) / area, (A2 + C2 - B2) / area,
+                    (A2 + B2 - C2) / area], axis=1) / 4.0
+    L = np.zeros((V, V))
+    ii = faces[:, [1, 2, 0]]
+    jj = faces[:, [2, 0, 1]]
+    for f in range(faces.shape[0]):
+        for k in range(3):
+            L[ii[f, k], jj[f, k]] += cot[f, k]
+    L = L + L.T
+    rowsum = L.sum(1)
+    lx = L @ verts
+    if method == "cot":
+        norm_w = np.where(rowsum > 0, 1.0 / np.maximum(rowsum, 1e-30),
+                          rowsum)
+        lap = lx * norm_w[:, None] - verts
+    else:
+        varea = np.zeros(V)
+        for f in range(faces.shape[0]):
+            for k in range(3):
+                varea[faces[f, k]] += area[f]
+        inv_area = np.where(varea > 0, 1.0 / np.maximum(varea, 1e-30), 0.0)
+        lap = (lx - rowsum[:, None] * verts) * (0.25 * inv_area)[:, None]
+    return np.linalg.norm(lap, axis=1).mean()
+
+
+def test_cot_laplacian_matches_dense_oracle():
+    verts, faces = make_icosphere(1)
+    mesh = pt.Meshes.create(verts, faces)
+    for method in ("cot", "cotcurv"):
+        ours = float(pt.mesh_laplacian_smoothing(mesh, method=method))
+        ref = _cot_laplacian_oracle(np.asarray(verts, np.float64),
+                                    np.asarray(faces), method)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_cotcurv_approximates_sphere_mean_curvature():
+    # For a radius-r sphere the discrete operator gives
+    # |(L x - rowsum x)_v| = |2 A_mixed K| = 4 A_mixed H, and the 0.25 /
+    # (3 A_mixed) normalization leaves cotcurv = H/3 = 1/(3 r).
+    verts, faces = make_icosphere(3)
+    for r in (1.0, 2.0):
+        mesh = pt.Meshes.create(verts * r, faces)
+        loss = float(pt.mesh_laplacian_smoothing(mesh, method="cotcurv"))
+        np.testing.assert_allclose(loss, 1.0 / (3.0 * r), rtol=0.05)
+
+
+def test_cot_laplacian_invariances_and_grad():
+    verts, faces = make_icosphere(1)
+    mesh = pt.Meshes.create(verts, faces)
+    shifted = mesh.offset_verts(jnp.ones_like(mesh.verts[0]) * 0.7)
+    for method in ("cot", "cotcurv"):
+        a = float(pt.mesh_laplacian_smoothing(mesh, method=method))
+        b = float(pt.mesh_laplacian_smoothing(shifted, method=method))
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+        g = jax.grad(lambda v: pt.mesh_laplacian_smoothing(
+            pt.Meshes.create(v, faces), method=method))(jnp.asarray(verts))
+        assert np.isfinite(np.asarray(g)).all()
+    # cot scales ~ s, cotcurv ~ 1/s.
+    big = mesh.scale_verts(2.0)
+    np.testing.assert_allclose(
+        float(pt.mesh_laplacian_smoothing(big, method="cot")),
+        2.0 * float(pt.mesh_laplacian_smoothing(mesh, method="cot")),
+        rtol=1e-4)

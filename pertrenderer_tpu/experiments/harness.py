@@ -537,7 +537,7 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                           adapt_params=(1.1, 1.5), param_to_check=None,
                           laplacian_weight=5e-3, segment_size=50,
                           checkpoint_dir=None, resume=False,
-                          max_segments=None):
+                          max_segments=None, lr_scales=None):
     """Joint optimization of {vertex colors, deform, camera elev/azim, light
     location} (`/root/reference/experiments/eval.py:411-503`).
 
@@ -545,6 +545,11 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
     optimized scalars — differentiable through ``look_at_view_transform``
     (`eval.py:443-447`), which is the capability ``check_differentiability``
     verifies.
+
+    ``lr_scales`` maps a param name to a multiplier on ``lr`` for that
+    group (e.g. camera elev/azim live in DEGREES, so joint camera+texture
+    runs need the camera group ~20x the 0-1-scaled texture lr; a shared
+    Adam step size cannot serve both units).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -584,21 +589,28 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         return total, (loss_rgb, loss_lap)
 
     lr = lr_init
-    if optimizer == "sgd":
-        base_opt = optax.inject_hyperparams(optax.sgd)(learning_rate=lr,
+    lr_scales = lr_scales or {}
+
+    def mk_opt(lr_val):
+        if optimizer == "sgd":
+            return optax.inject_hyperparams(optax.sgd)(learning_rate=lr_val,
                                                        momentum=0.9)
-    else:
-        base_opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr_val)
+
     # Frozen params get zero updates (requires_grad=False equivalent,
-    # `eval.py:413-422`).
-    labels = {k: ("train" if v else "freeze") for k, v in trainable.items()}
-    opt = optax.multi_transform(
-        {"train": base_opt, "freeze": optax.set_to_zero()}, labels)
+    # `eval.py:413-422`); scaled params get their own transform group.
+    scaled = sorted(k for k in lr_scales if trainable.get(k, False))
+    labels = {k: (k if k in scaled else "train" if v else "freeze")
+              for k, v in trainable.items()}
+    transforms = {"train": mk_opt(lr), "freeze": optax.set_to_zero()}
+    transforms.update({k: mk_opt(lr * lr_scales[k]) for k in scaled})
+    opt = optax.multi_transform(transforms, labels)
 
     def init_opt_state(lr):
         state = opt.init(params)
-        state.inner_states["train"].inner_state.hyperparams[
-            "learning_rate"] = jnp.asarray(lr)
+        for k in ["train"] + scaled:
+            state.inner_states[k].inner_state.hyperparams[
+                "learning_rate"] = jnp.asarray(lr * lr_scales.get(k, 1.0))
         return state
 
     opt_state = init_opt_state(lr)

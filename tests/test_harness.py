@@ -161,3 +161,44 @@ def test_scene_params_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(final2["lights_location"]),
                                   np.asarray(final["lights_location"]))
     np.testing.assert_array_equal(losses2, losses)
+
+
+def test_config3_joint_camera_texture_lr_scales():
+    """CI-scale BASELINE config 3: joint camera-pose + vertex-texture
+    optimization with per-group lr scales (camera scalars live in degrees,
+    the texture in 0-1 — one shared Adam step size cannot serve both;
+    reference loop: `/root/reference/experiments/eval.py:411-503`)."""
+    mesh = pt.load_cube().scale_verts(2.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cam = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    target = harness.get_hard_rendering(mesh, cam, lights, 32)[..., :3]
+    sigma, gamma = 1e-3, 1e-2
+    sr, sa = harness.make_smoothers("gaussian", sigma, gamma, 1.0, 2)
+    settings = pt.RasterizationSettings(
+        image_size=32, blur_radius=harness._BLUR_CONST * sigma,
+        faces_per_pixel=8)
+    ren = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=sr, smoothagg=sa))
+    nv = mesh.max_verts
+    best, final, losses = harness.optimize_scene_params(
+        mesh, jnp.ones(1) * 20.0, jnp.ones(1) * 110.0,
+        jnp.array([[0.0, 2.0, -2.0]]), jnp.zeros((nv, 3)),
+        jnp.ones((1, nv, 3)), ren, [target], key=jax.random.PRNGKey(0),
+        lr_init=5e-2, Niter=6, segment_size=3,
+        param_to_check={"camera": True, "textures": True,
+                        "vertices": False, "light": False},
+        lr_scales={"camera_elev": 20.0, "camera_azim": 20.0})
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # both groups actually moved, and the camera group moved at the
+    # degree scale the lr multiplier provides (>0.1 deg in 6 steps)
+    assert abs(float(best["camera_elev"][0]) - 20.0) > 0.1
+    assert float(jnp.abs(best["verts_rgb"] - 1.0).max()) > 1e-3
+    # frozen groups did not move
+    np.testing.assert_allclose(np.asarray(final["deform"]), 0.0)

@@ -86,7 +86,10 @@ def main():
         renderer, [target], key=jax.random.PRNGKey(0), lr_init=args.lr,
         Niter=args.iters, adapt_reg=True,
         param_to_check={"camera": True, "textures": True,
-                        "vertices": False, "light": False})
+                        "vertices": False, "light": False},
+        # elev/azim are in degrees; the texture is 0-1.  One Adam step
+        # size cannot serve both units — give the camera group ~1 deg/step.
+        lr_scales={"camera_elev": 20.0, "camera_azim": 20.0})
     wall = time.time() - t0
 
     elev_err = abs(float(best["camera_elev"][0]) - true_elev)

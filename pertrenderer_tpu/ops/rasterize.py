@@ -49,7 +49,7 @@ from flax import struct
 from pertrenderer_tpu.ops.gather import take_rows, take_rows_cm
 
 __all__ = ["Fragments", "PlanarFragments", "RasterizationSettings",
-           "rasterize_meshes", "rasterize_planar"]
+           "rasterize_meshes", "rasterize_planar", "rasterize_planar_rows"]
 
 _INF = jnp.inf
 
@@ -378,11 +378,12 @@ def _select_topk_binned(verts_ndc, faces, num_faces, image_size, blur_radius,
 
 
 def _derive_planar(verts_ndc, faces, idx, image_size, clip,
-                   perspective_correct):
+                   perspective_correct, rows=None):
     """Differentiable fragment attributes for the selected faces (one mesh),
     channel-major.  idx: (H, W, K) face indices (-1 empty).  Returns
     (zbuf, dists, w0, w1, w2) with PyTorch3D's -1 padding on empty slots
-    (w's padding handled at Fragments assembly)."""
+    (w's padding handled at Fragments assembly).  ``rows=(start, count)``
+    restricts to an image-row strip (idx then has count rows)."""
     h = w = image_size
     # Per-face vertex table (F, 9), then ONE per-pixel channel-major gather:
     # fv9 (9, H, W, K) — each coordinate is its own lane-aligned array.
@@ -390,6 +391,8 @@ def _derive_planar(verts_ndc, faces, idx, image_size, clip,
     fv9 = take_rows_cm(face_verts.reshape(faces.shape[0], 9), idx)
 
     xs, ys = _pixel_grid(h, w)
+    if rows is not None:
+        ys = jax.lax.slice_in_dim(ys, rows[0], rows[0] + rows[1])
     px = xs[None, :, None]
     py = ys[:, None, None]
     w0, w1, w2, z, dist, _, _ = _face_pixel_geometry(
@@ -440,6 +443,50 @@ def rasterize_planar(meshes, cameras, settings: RasterizationSettings,
     idx, zbuf, dists, w0, w1, w2 = jax.vmap(_one)(
         verts_ndc, meshes.faces, meshes.num_faces
     )
+    return PlanarFragments(pix_to_face=idx, zbuf=zbuf, dists=dists,
+                           w0=w0, w1=w1, w2=w2)
+
+
+@partial(jax.jit, static_argnames=("settings", "row_start", "row_count"))
+def rasterize_planar_rows(meshes, cameras, settings: RasterizationSettings,
+                          row_start: int, row_count: int,
+                          blur_radius=None) -> PlanarFragments:
+    """Staged rasterization of the image-row strip
+    [row_start, row_start + row_count) at full-image NDC coordinates.
+
+    Memory-bounded oracle path: at scales where the full-image staged pass
+    cannot fit (81,920 faces at 512², K=150 — BASELINE config 5, the
+    ``max_faces_per_bin`` regime of `/root/reference/experiments/eval.py:139`),
+    work and residency scale with the strip's pixel count, so the fused
+    binned kernel's output can be parity-checked strip-by-strip at full
+    scale.  Always uses flat chunked selection (every face tested per
+    pixel) — an independent code path from both the fused kernel and the
+    binned XLA selector."""
+    blur = settings.blur_radius if blur_radius is None else blur_radius
+    verts_ndc = cameras.transform_points_ndc(meshes.verts)   # (N, V, 3)
+    clip = settings.resolve_clip()
+    h = w = settings.image_size
+    xs, ys_full = _pixel_grid(h, w)
+    ys = jax.lax.slice_in_dim(ys_full, row_start, row_start + row_count)
+
+    def _one(verts_ndc_n, faces_n, num_faces_n):
+        def select(v):
+            fv, valid = _face_validity(v, faces_n, num_faces_n,
+                                       settings.cull_backfaces)
+            face_ids = jnp.arange(fv.shape[0], dtype=jnp.int32)
+            return _select_topk_core(
+                xs[None, :, None], ys[:, None, None], fv, face_ids, valid,
+                blur, settings.faces_per_pixel, settings.faces_per_chunk,
+                clip, settings.perspective_correct)
+        idx = jax.lax.stop_gradient(
+            select(jax.lax.stop_gradient(verts_ndc_n)))
+        zbuf, dists, w0, w1, w2 = _derive_planar(
+            verts_ndc_n, faces_n, idx, settings.image_size, clip,
+            settings.perspective_correct, rows=(row_start, row_count))
+        return idx, zbuf, dists, w0, w1, w2
+
+    idx, zbuf, dists, w0, w1, w2 = jax.vmap(_one)(
+        verts_ndc, meshes.faces, meshes.num_faces)
     return PlanarFragments(pix_to_face=idx, zbuf=zbuf, dists=dists,
                            w0=w0, w1=w1, w2=w2)
 

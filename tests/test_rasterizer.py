@@ -179,3 +179,26 @@ def test_perspective_correct_changes_depth_interp():
     za = np.asarray(fa.zbuf)[0, :, :, 0][inside]
     zp = np.asarray(fp.zbuf)[0, :, :, 0][inside]
     assert np.abs(za - zp).max() > 1e-4
+
+
+def test_rasterize_planar_rows_matches_full_strips():
+    """The strip oracle path (rasterize_planar_rows) reproduces the full
+    staged pass row-for-row, bit-exactly — selection, depth, dists and
+    barycentrics — including across face-chunk boundaries."""
+    from pertrenderer_tpu.io import make_icosphere
+    from pertrenderer_tpu.ops.rasterize import (rasterize_planar,
+                                                rasterize_planar_rows)
+
+    verts, faces = make_icosphere(2)
+    mesh = Meshes.create(verts, faces)
+    r, t = look_at_view_transform(dist=3.0, elev=20.0, azim=40.0)
+    cams = PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    settings = RasterizationSettings(image_size=32, faces_per_pixel=6,
+                                     blur_radius=2e-3, faces_per_chunk=128)
+    full = rasterize_planar(mesh, cams, settings)
+    for r0, rc in ((0, 8), (8, 16), (24, 8)):
+        strip = rasterize_planar_rows(mesh, cams, settings, r0, rc)
+        for name in ("pix_to_face", "zbuf", "dists", "w0", "w1", "w2"):
+            a = np.asarray(getattr(full, name))[:, r0:r0 + rc]
+            b = np.asarray(getattr(strip, name))
+            np.testing.assert_array_equal(a, b, err_msg=name)

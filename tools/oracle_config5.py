@@ -1,0 +1,149 @@
+"""At-scale correctness oracle for BASELINE config 5 (81,920 faces, 512²,
+K=150): parity of the fused binned Pallas renderer against the staged XLA
+path run strip-by-strip.
+
+The full-image staged pass cannot run this config (lane-padded fragment
+tensors exceed HBM), so it has never served as an oracle at scale.  The
+strip path (ops/rasterize.rasterize_planar_rows) bounds residency by the
+strip's pixel count and uses FLAT chunked selection — every face tested
+for every pixel, no binning anywhere — making it an independent oracle for
+both the fused kernel's hierarchical bin selection and its in-kernel math.
+
+Checks (deterministic softras member — SoftRast+SoftAgg — so parity is
+exact math, not distribution):
+  1. forward RGBA parity on several 32-row strips;
+  2. pose-gradient parity on one strip (fused loss restricted to the strip
+     by a target equal to the fused render elsewhere; zero L2 diff pixels
+     contribute zero gradient).
+
+Writes artifacts/oracle_config5.json.
+
+    python tools/oracle_config5.py [--image 512] [--k 150] [--strips 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", type=int, default=512)
+    ap.add_argument("--k", type=int, default=150)
+    ap.add_argument("--level", type=int, default=6)   # 81,920 faces
+    ap.add_argument("--rc", type=int, default=32)     # strip rows
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), os.pardir, "artifacts",
+        "oracle_config5.json"))
+    args = ap.parse_args()
+
+    import pertrenderer_tpu as pt
+    from pertrenderer_tpu.ops.rasterize import rasterize_planar_rows
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    imsize, k = args.image, args.k
+    verts, faces = pt.make_icosphere(args.level)
+    mesh = pt.Meshes.create(
+        verts, faces,
+        textures=pt.TexturesVertex(
+            0.5 + 0.5 * jnp.abs(jnp.asarray(verts))[None]))
+    mesh = mesh.scale_verts(3.0)
+
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+    settings = pt.RasterizationSettings(
+        image_size=imsize, blur_radius=blur, faces_per_pixel=k,
+        max_faces_per_bin=50000, perspective_correct=False)
+    shader = pt.RandomPhongShader.create(
+        cameras=cameras, lights=lights,
+        blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                    background_color=(0.0, 0.0, 0.0)),
+        smoothrast=pt.SoftRast.create(sigma=sigma),
+        smoothagg=pt.SoftAgg.create(gamma=gamma))
+    renderer = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                            raster_settings=settings),
+        shader=shader)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    img_fused = np.asarray(jax.jit(
+        lambda m: renderer(m, key=key))(mesh))
+    t_fused = time.time() - t0
+    print(f"fused render: {t_fused:.1f}s (incl compile), "
+          f"coverage={float((img_fused[..., 3] > 0).mean()):.3f}")
+
+    # Strips through the sphere's silhouette and interior.
+    h = imsize
+    strip_starts = [h // 4, h // 2 - args.rc // 2, 5 * h // 8]
+    fwd_errs = {}
+    for r0 in strip_starts:
+        frag = rasterize_planar_rows(mesh, cameras, settings, r0, args.rc)
+        img_strip = np.asarray(shader(frag, mesh, key=key, cameras=cameras))
+        err = float(np.abs(
+            img_fused[:, r0:r0 + args.rc] - img_strip).max())
+        fwd_errs[str(r0)] = err
+        print(f"strip rows [{r0}, {r0 + args.rc}): max |fused - oracle| "
+              f"= {err:.3e}")
+
+    # Pose-gradient parity on the middle strip: the fused loss sees a
+    # target equal to its own render outside the strip (zero L2 residual
+    # pixels contribute zero gradient), zeros inside it.
+    r0 = strip_starts[1]
+    target_full = img_fused[..., :3].copy()
+    target_full[:, r0:r0 + args.rc] = 0.0
+    target_full = jnp.asarray(target_full)
+    base_verts = mesh.verts_padded()
+
+    def rotated(log_rot):
+        rot = so3_exp_map(log_rot)
+        return mesh.update_padded(Rotate(rot).transform_points(base_verts))
+
+    def loss_fused(log_rot):
+        return renderer.render_loss(rotated(log_rot), target_full, key=key,
+                                    cameras=cameras, lights=lights)
+
+    def loss_strip(log_rot):
+        frag = rasterize_planar_rows(rotated(log_rot), cameras, settings,
+                                     r0, args.rc)
+        img = shader(frag, rotated(log_rot), key=key, cameras=cameras)
+        return jnp.mean(img[..., :3] ** 2)
+
+    log_rot = jnp.zeros((1, 3))
+    g_fused = np.asarray(jax.jit(jax.grad(loss_fused))(log_rot))
+    g_strip = np.asarray(jax.jit(jax.grad(loss_strip))(log_rot))
+    # mean over H rows vs mean over rc rows
+    g_fused_scaled = g_fused * (imsize / args.rc)
+    rel = float(np.abs(g_fused_scaled - g_strip).max() /
+                max(np.abs(g_strip).max(), 1e-12))
+    print(f"pose grad (strip-restricted): fused*H/rc={g_fused_scaled}, "
+          f"oracle={g_strip}, rel err={rel:.3e}")
+
+    rec = {
+        "config": f"BASELINE config 5 oracle: icosphere level {args.level} "
+                  f"({int(mesh.num_faces[0])} faces), {imsize}^2, K={k}, "
+                  "softras member, fused-binned vs flat strip oracle",
+        "forward_max_abs_err_by_strip": fwd_errs,
+        "pose_grad_rel_err": rel,
+        "backend": jax.default_backend(),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

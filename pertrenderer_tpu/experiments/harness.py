@@ -537,7 +537,8 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                           adapt_params=(1.1, 1.5), param_to_check=None,
                           laplacian_weight=5e-3, segment_size=50,
                           checkpoint_dir=None, resume=False,
-                          max_segments=None, lr_scales=None):
+                          max_segments=None, lr_scales=None,
+                          anneal_start=200, lr_decay=1.5):
     """Joint optimization of {vertex colors, deform, camera elev/azim, light
     location} (`/root/reference/experiments/eval.py:411-503`).
 
@@ -709,9 +710,11 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         params, opt_state, key, best_loss, best_params, renderer = carry
         losses.append(np.asarray(seg_total))
         start = end
-        # Annealing after iter 200 (`eval.py:483-491`) — unconditional on the
-        # gamma-grad sign, unlike the pose loop.
-        if adapt_reg and end > 200 and end < Niter:
+        # Annealing after iter 200 by default (`eval.py:483-491`) —
+        # unconditional on the gamma-grad sign, unlike the pose loop.
+        # ``anneal_start`` tunes the coarse-phase length for coarse-to-fine
+        # schedules (the reference hardcodes 200).
+        if adapt_reg and end > anneal_start and end < Niter:
             sigma, gamma, _ = renderer.shader.get_smoothing()
             new_sigma = float(sigma) / adapt_params[0]
             new_gamma = float(gamma) / adapt_params[1]
@@ -723,7 +726,7 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                     sigma=new_sigma, gamma=new_gamma)
                 .update_nb_samples(min(2 * nb, 128)),
             )
-            lr = lr / 1.5
+            lr = lr / lr_decay
             opt_state = init_opt_state(lr)
             scan_cache.clear()
         save_ckpt(end)

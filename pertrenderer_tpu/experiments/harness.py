@@ -551,6 +551,14 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
     group (e.g. camera elev/azim live in DEGREES, so joint camera+texture
     runs need the camera group ~20x the 0-1-scaled texture lr; a shared
     Adam step size cannot serve both units).
+
+    Multi-view: pass ``camera_elev_init``/``camera_azim_init`` of shape
+    (n_views,), ``base_mesh`` extended to n_views (``mesh.extend(n)``) and
+    a batched target (n_views, H, W, 3).  Each view's camera scalars are
+    optimized per view; the texture/deform/light params are shared across
+    views — the multi-view constraint that makes joint camera+texture
+    optimization well-posed (single-view appearance can compensate a pose
+    error; n >= 2 views of one shared texture cannot).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -573,15 +581,21 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         "lights_location": param_to_check.get("light", False),
     }
 
+    n_views = int(np.size(np.asarray(camera_elev_init)))
+
     def loss_fn(params, renderer, key):
-        lights = pt.PointLights.create(location=params["lights_location"])
+        lights = pt.PointLights.create(location=params["lights_location"],
+                                       batch=n_views)
         r, t = pt.look_at_view_transform(dist=6.7, elev=params["camera_elev"],
                                          azim=params["camera_azim"])
-        camera = pt.PerspectiveCameras.create(R=r[0:1], T=t[0:1])
+        camera = pt.PerspectiveCameras.create(R=r, T=t)
         mesh = base_mesh.offset_verts(params["deform"])
         if param_to_check.get("textures"):
-            mesh = mesh.with_textures(pt.TexturesVertex(
-                jnp.clip(params["verts_rgb"], 0.0, 1.0)))
+            # One shared texture across all views (its cotangent sums over
+            # the broadcast — the multi-view consistency constraint).
+            rgb = jnp.clip(params["verts_rgb"], 0.0, 1.0)
+            mesh = mesh.with_textures(pt.TexturesVertex(jnp.broadcast_to(
+                rgb, (base_mesh.batch_size,) + rgb.shape[1:])))
         loss_rgb = renderer.render_loss(mesh, target, key=key,
                                         loss_kind="l1_rgb", cameras=camera,
                                         lights=lights)

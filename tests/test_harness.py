@@ -202,3 +202,52 @@ def test_config3_joint_camera_texture_lr_scales():
     assert float(jnp.abs(best["verts_rgb"] - 1.0).max()) > 1e-3
     # frozen groups did not move
     np.testing.assert_allclose(np.asarray(final["deform"]), 0.0)
+
+
+def test_config3_multiview_shared_texture():
+    """Multi-view scene-params: per-view cameras + ONE shared texture
+    (config 3 runs 2 views — single-view joint camera+texture is ill-posed
+    on this scene; the shared texture across views removes the gauge)."""
+    n = 2
+    mesh = pt.load_cube().scale_verts(2.0)
+    mesh_n = mesh.extend(n)
+    true_elev = jnp.full((n,), 30.0)
+    true_azim = jnp.array([120.0, 210.0])
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0), batch=n)
+    r, t = pt.look_at_view_transform(dist=6.7, elev=true_elev,
+                                     azim=true_azim)
+    cam = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    target = harness.get_hard_rendering(mesh_n, cam, lights, 32)[..., :3]
+    assert target.shape[0] == n
+    assert float(jnp.abs(target[0] - target[1]).max()) > 0.1  # distinct views
+    sigma, gamma = 1e-3, 1e-2
+    sr, sa = harness.make_smoothers("gaussian", sigma, gamma, 1.0, 2)
+    settings = pt.RasterizationSettings(
+        image_size=32, blur_radius=harness._BLUR_CONST * sigma,
+        faces_per_pixel=8)
+    ren = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(raster_settings=settings),
+        shader=pt.RandomPhongShader.create(
+            lights=lights,
+            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                        background_color=(0.0, 0.0, 0.0)),
+            smoothrast=sr, smoothagg=sa))
+    nv = mesh.max_verts
+    best, final, losses = harness.optimize_scene_params(
+        mesh_n, true_elev - 10.0, true_azim - 10.0,
+        jnp.array([[0.0, 2.0, -2.0]]), jnp.zeros((nv, 3)),
+        jnp.ones((1, nv, 3)), ren, [target], key=jax.random.PRNGKey(0),
+        lr_init=5e-2, Niter=6, segment_size=3,
+        param_to_check={"camera": True, "textures": True,
+                        "vertices": False, "light": False},
+        lr_scales={"camera_elev": 20.0, "camera_azim": 20.0})
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # per-view cameras moved (and independently — the two updates differ);
+    # the shared texture is a single (1, V, 3) leaf
+    assert best["camera_elev"].shape == (n,)
+    moved = np.asarray(best["camera_elev"]) - np.asarray(true_elev - 10.0)
+    assert np.abs(moved).max() > 0.1
+    assert abs(float(moved[0] - moved[1])) > 1e-4
+    assert best["verts_rgb"].shape == (1, nv, 3)
+    assert float(jnp.abs(best["verts_rgb"] - 1.0).max()) > 1e-3

@@ -298,6 +298,31 @@ def main():
         json.dump(rec, f, indent=2)
     print(json.dumps(rec, indent=2))
 
+    # Visual evidence: target | final render per view.
+    try:
+        from pertrenderer_tpu.utils import artifacts as _art
+
+        r2, t2 = pt.look_at_view_transform(
+            dist=6.7, elev=jnp.asarray(best["camera_elev"]),
+            azim=jnp.asarray(best["camera_azim"]))
+        cam_f = pt.PerspectiveCameras.create(R=r2, T=t2)
+        mesh_f = cow_n.with_textures(pt.TexturesVertex(jnp.broadcast_to(
+            jnp.clip(best["verts_rgb"], 0.0, 1.0),
+            (nv_, n_verts, 3))))
+        final_imgs = renderer(mesh_f, key=jax.random.PRNGKey(7),
+                              cameras=cam_f, lights=lights)[..., :3]
+        grid = np.concatenate([np.asarray(target), np.asarray(final_imgs)],
+                              axis=0)
+        outdir = os.path.dirname(os.path.abspath(args.out))
+        path = _art.image_grid(grid, outdir, rows=2, cols=nv_)
+        if path:
+            final_path = os.path.join(outdir, "config3_views.png")
+            os.replace(path, final_path)
+            print(f"saved {final_path} (top row targets, bottom row final "
+                  "renders)")
+    except Exception as e:   # pragma: no cover - visualization only
+        print(f"grid render skipped: {e!r}")
+
 
 if __name__ == "__main__":
     main()

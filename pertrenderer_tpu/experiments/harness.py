@@ -538,7 +538,8 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                           laplacian_weight=5e-3, segment_size=50,
                           checkpoint_dir=None, resume=False,
                           max_segments=None, lr_scales=None,
-                          anneal_start=200, lr_decay=1.5):
+                          anneal_start=200, lr_decay=1.5,
+                          texture_smoothing_weight=0.0):
     """Joint optimization of {vertex colors, deform, camera elev/azim, light
     location} (`/root/reference/experiments/eval.py:411-503`).
 
@@ -601,6 +602,10 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
                                         lights=lights)
         loss_lap = pt.mesh_laplacian_smoothing(mesh)
         total = loss_rgb + laplacian_weight * loss_lap
+        if texture_smoothing_weight and param_to_check.get("textures"):
+            from pertrenderer_tpu.losses import vertex_feature_laplacian
+            total = total + texture_smoothing_weight * \
+                vertex_feature_laplacian(base_mesh, params["verts_rgb"])
         return total, (loss_rgb, loss_lap)
 
     lr = lr_init

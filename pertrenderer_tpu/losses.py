@@ -15,9 +15,39 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "mesh_laplacian_smoothing", "mesh_edge_loss",
-    "mesh_normal_consistency", "chamfer_distance", "knn_points",
+    "mesh_laplacian_smoothing", "vertex_feature_laplacian",
+    "mesh_edge_loss", "mesh_normal_consistency", "chamfer_distance",
+    "knn_points",
 ]
+
+
+def vertex_feature_laplacian(meshes, features: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-Laplacian smoothness of an arbitrary per-vertex field —
+    mean_v || mean_{u in N(v)} f_u - f_v || over the mesh (batch 0) edge
+    graph.  Used as an optional texture regularizer in the scene-parameter
+    loop (per-vertex colors live on the same graph as positions; the
+    reference regularizes only geometry, `eval.py:455`).
+
+    features: (V, C) or (1, V, C); gradients flow through ``features``
+    only (topology weights are constants).
+    """
+    if features.ndim == 3:
+        features = features[0]
+    faces = jnp.maximum(meshes.faces[0], 0)
+    fmask = meshes.faces_mask()[0].astype(features.dtype)
+    v_count = features.shape[0]
+    src = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 1],
+                           faces[:, 2], faces[:, 2], faces[:, 0]])
+    dst = jnp.concatenate([faces[:, 1], faces[:, 0], faces[:, 2],
+                           faces[:, 1], faces[:, 0], faces[:, 2]])
+    w = jnp.tile(fmask, 6)
+    acc = jax.ops.segment_sum(w[:, None] * features[dst], src,
+                              num_segments=v_count)
+    deg = jax.ops.segment_sum(w, src, num_segments=v_count)
+    lap = acc / jnp.maximum(deg, 1.0)[:, None] - features
+    norm = jnp.linalg.norm(lap, axis=-1)
+    valid = (deg > 0).astype(norm.dtype)
+    return jnp.sum(norm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def mesh_laplacian_smoothing(meshes, method: str = "uniform") -> jnp.ndarray:

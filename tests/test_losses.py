@@ -153,3 +153,24 @@ def test_cot_laplacian_invariances_and_grad():
         float(pt.mesh_laplacian_smoothing(big, method="cot")),
         2.0 * float(pt.mesh_laplacian_smoothing(mesh, method="cot")),
         rtol=1e-4)
+
+
+def test_vertex_feature_laplacian():
+    from pertrenderer_tpu.losses import vertex_feature_laplacian
+
+    verts, faces = make_icosphere(1)
+    mesh = pt.Meshes.create(verts, faces)
+    # A constant field is exactly smooth; a random one is not.
+    const = jnp.ones((mesh.max_verts, 3)) * 0.4
+    np.testing.assert_allclose(
+        float(vertex_feature_laplacian(mesh, const)), 0.0, atol=1e-6)
+    noisy = jax.random.uniform(jax.random.PRNGKey(0),
+                               (mesh.max_verts, 3))
+    assert float(vertex_feature_laplacian(mesh, noisy)) > 1e-3
+    # (1, V, C) accepted; matches geometry laplacian on the verts field.
+    a = float(vertex_feature_laplacian(mesh, mesh.verts))
+    b = float(pt.mesh_laplacian_smoothing(mesh))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    g = jax.grad(lambda f: vertex_feature_laplacian(mesh, f))(noisy)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

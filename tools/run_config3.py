@@ -79,6 +79,10 @@ def main():
                          "camera-only, annealing sigma/gamma per block")
     ap.add_argument("--tex-iters", type=int, default=50)
     ap.add_argument("--cam-iters", type=int, default=50)
+    ap.add_argument("--tex-smooth", type=float, default=0.0,
+                    help="vertex-color Laplacian smoothness weight; "
+                         "opt-in — cleans speckle on rarely-covered "
+                         "vertices but also fights sharp spot edges")
     ap.add_argument("--cam-lr-scale", type=float, default=5.0)
     ap.add_argument("--tex-lr-scale", type=float, default=1.0)
     ap.add_argument("--lr-decay", type=float, default=1.25)
@@ -161,6 +165,7 @@ def main():
             renderer, [target], key=jax.random.PRNGKey(args.seed + 1),
             lr_init=args.lr, Niter=args.warmup_iters, adapt_reg=False,
             segment_size=min(args.segment, args.warmup_iters),
+            texture_smoothing_weight=args.tex_smooth,
             param_to_check={"camera": False, "textures": True,
                             "vertices": False, "light": False})
         vrgb0 = ph1["verts_rgb"]
@@ -194,7 +199,8 @@ def main():
                 renderer, [target],
                 key=jax.random.PRNGKey(args.seed + 101 + b),
                 lr_init=args.lr, Niter=args.tex_iters, adapt_reg=False,
-                segment_size=args.tex_iters, param_to_check=tex_kw)
+                segment_size=args.tex_iters, param_to_check=tex_kw,
+                texture_smoothing_weight=args.tex_smooth)
             vrgb0 = ph_t["verts_rgb"]
             best_c, ph_c, ls_c = harness.optimize_scene_params(
                 cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
@@ -217,7 +223,8 @@ def main():
             cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
             renderer, [target], key=jax.random.PRNGKey(args.seed + 999),
             lr_init=args.lr, Niter=args.tex_iters, adapt_reg=False,
-            segment_size=args.tex_iters, param_to_check=tex_kw)
+            segment_size=args.tex_iters, param_to_check=tex_kw,
+            texture_smoothing_weight=args.tex_smooth)
         losses_acc.append(ls_f)
         total_iters += args.tex_iters
         losses = np.concatenate(losses_acc)
@@ -236,6 +243,7 @@ def main():
             # elev/azim are in degrees; the texture is 0-1.  One Adam step
             # size cannot serve both units — and the camera must move
             # SLOWLY relative to the texture's tracking of its optimum.
+            texture_smoothing_weight=args.tex_smooth,
             lr_scales={"camera_elev": args.cam_lr_scale,
                        "camera_azim": args.cam_lr_scale,
                        "verts_rgb": args.tex_lr_scale})

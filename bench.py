@@ -87,10 +87,18 @@ def build_scan(image_size=256, faces_per_pixel=50, nb_samples=8):
 
 
 def check_prng_identity():
-    """Compiled-vs-interpreter PRNG bit-identity: run the probe kernel
-    COMPILED on this chip and compare bit-exactly against the committed
-    interpreter-mode goldens (tests/goldens/prng_goldens.npz — the stream
-    the CPU test suite certifies).  Records the result in the JSON line."""
+    """Three-level PRNG identity pin against the committed CPU goldens
+    (tests/goldens/prng_goldens.npz; see fused_render.prng_probe):
+
+    1. The 'uniform' stage (integer hash + power-of-two scale) must be
+       BIT-EXACT compiled on this chip vs the CPU-recorded goldens.
+    2. gaussian/cauchy compiled vs Pallas-interpreter ON THIS CHIP must be
+       bit-exact — a Mosaic toolchain update that split the numerics the
+       kernels compile to from the numerics jnp traces fails here.
+    3. gaussian/cauchy compiled vs the CPU goldens must agree to a tight
+       tolerance (TPU fast transcendentals — log is ~1e-4 relative off CPU
+       libm — make cross-platform bit-identity unattainable; measured
+       2026-08-18, NOTES.md)."""
     import os
 
     from pertrenderer_tpu.ops import fused_render as fr
@@ -99,13 +107,29 @@ def check_prng_identity():
                         "tests", "goldens", "prng_goldens.npz")
     try:
         ref = np.load(path)
-        for nt in ("gaussian", "cauchy"):
+        u = np.asarray(fr.prng_probe("uniform", interpret=False))
+        if not np.array_equal(u, ref["uniform"]):
+            print("PRNG uniform stage NOT bit-exact vs CPU goldens: max "
+                  f"diff {np.abs(u - ref['uniform']).max()}",
+                  file=sys.stderr)
+            return False
+        for nt, tol, rel in (("gaussian", 5e-4, False),
+                             ("cauchy", 1e-5, True)):
             got = np.asarray(fr.prng_probe(nt, interpret=False))
-            if not np.array_equal(got, ref[nt]):
-                print(f"PRNG identity FAILED for {nt}: max diff "
-                      f"{np.abs(got - ref[nt]).max()}", file=sys.stderr)
+            interp = np.asarray(fr.prng_probe(nt, interpret=True))
+            if not np.array_equal(got, interp):
+                print(f"PRNG {nt}: compiled != interpreter on-chip, max "
+                      f"diff {np.abs(got - interp).max()}", file=sys.stderr)
                 return False
-        print("PRNG compiled-vs-interpreter identity: OK (bit-exact)",
+            d = np.abs(got - ref[nt])
+            if rel:
+                d = d / np.maximum(np.abs(ref[nt]), 1e-6)
+            if d.max() > tol:
+                print(f"PRNG {nt}: vs CPU goldens diff {d.max()} > {tol}",
+                      file=sys.stderr)
+                return False
+        print("PRNG identity pin: OK (uniform bit-exact; compiled=="
+              "interpreter on-chip; draws within tolerance of CPU goldens)",
               file=sys.stderr)
         return True
     except Exception as e:  # pragma: no cover - diagnostics only
@@ -136,7 +160,7 @@ def main():
         "value": round(renders_per_sec, 2),
         "unit": "renders/sec",
         "vs_baseline": round(renders_per_sec / 5000.0, 4),
-        "prng_compiled_matches_interpreter": prng_ok,
+        "prng_identity_pin": prng_ok,
     }))
 
 

@@ -30,8 +30,13 @@ primitives' custom VJPs match the XLA path by construction.  The stochastic
 estimators use the reference's variance-reduced score-function gradients
 (`/root/reference/randomras/smoothrast.py:39-59`, ``smoothagg.py:44-73``),
 replaying the forward noise from a counter-based hash PRNG keyed on the
-*absolute* pixel position — identical bits in forward and backward, on
-compiled TPU and in interpreter mode (used by the CPU test suite).
+*absolute* pixel position — identical bits in forward and backward.  The
+integer hash + uniform stage is bit-identical on every backend; the full
+gaussian/cauchy draws are bit-identical between compiled Mosaic and
+interpreter mode *on the same backend*, but differ from CPU by <=2e-4
+absolute because the TPU's fast transcendentals (notably ``log``, ~1e-4
+relative) round differently than CPU libm — see ``prng_probe`` and the
+three-level identity pin in bench.py.
 
 **Gamma-gradient channel count.**  The reference's gamma gradient uses
 ``phi = ||Z||^2`` summed over all K+1 noise channels (smoothagg.py:54-56),
@@ -222,16 +227,31 @@ def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos, row_base=0):
     if noise_type == "cauchy":
         return jnp.clip(jnp.tan(np.pi * (u - 0.5)), -_CAUCHY_CLAMP,
                         _CAUCHY_CLAMP)
+    if noise_type == "uniform":
+        # The raw uniform stage: integer hash + power-of-two scaling only,
+        # so (unlike the transcendental-mapped draws) the bits are
+        # identical on every backend.  Used by the prng_probe identity pin.
+        return u
     raise ValueError(f"fused kernel: noise {noise_type!r} unsupported")
 
 
 def prng_probe(noise_type: str = "gaussian", s: int = 4, c: int = 16,
                p: int = 256, interpret: bool = False):
     """Draw ``s`` (c, p) noise blocks through a real pallas_call — the
-    bit-identity probe between the Pallas interpreter (what the CPU test
-    suite exercises) and the compiled Mosaic kernel (what the chip runs).
-    Goldens live in tests/goldens/prng_goldens.npz; bench.py re-checks the
-    compiled output against them on every driver run."""
+    identity probe for the hash PRNG.  Three levels are pinned (goldens in
+    tests/goldens/prng_goldens.npz; bench.py re-checks on every driver run):
+
+    1. ``noise_type='uniform'`` (integer hash + power-of-two scale) is
+       bit-exact against the goldens on EVERY backend — this pins the PRNG
+       stream itself.
+    2. gaussian/cauchy compiled-vs-interpreter on the SAME backend is
+       bit-exact — this is the Mosaic-toolchain-split hazard check.
+    3. gaussian/cauchy compiled-on-TPU vs the CPU-recorded goldens agree to
+       a tight tolerance (<=5e-4 abs for gaussian, <=1e-5 relative for
+       cauchy): cross-platform bit-identity is unattainable because TPU
+       transcendentals (and even mul+add FMA contraction, div, sqrt) round
+       1-2 ulp differently than CPU — measured 2026-08-18, TPU fast ``log``
+       is ~1e-4 relative off CPU libm."""
 
     def kernel(seed_ref, out_ref):
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) + 7

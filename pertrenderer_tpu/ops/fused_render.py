@@ -1074,18 +1074,97 @@ def _active_tiles(cfg: FusedConfig, fv_ndc, valid, blur):
 # y-sorted contiguous-range selection (see _binned_tables_sorted).
 _COARSE_THRESHOLD = 8192
 _RANGE_GROUP = 16         # tiles per range group
-_RANGE_MAX = 4096         # face rows per group's contiguous slice
+# Face rows per group's contiguous slice.  The window is dominated by the
+# blur-band bbox inflation (sqrt(blur) ~ 0.1 NDC at sigma=1e-3 — ~25 rows
+# both sides at 512^2), NOT by the group's own y-span: BASELINE config 5
+# (81,920 faces, 512^2) needs ~10-12k rows per group.  4096 silently
+# clamped those windows (detected by _check_bin_overflow, but every face
+# outside the clamp vanished — measured err ~1.0 on silhouette strips).
+_RANGE_MAX = 16384
+
+
+def _front_rel_scores(cfg: FusedConfig, overlap, covers, xlo, xhi, fz):
+    """Binned-mode selection score under slot overflow: COVERING faces
+    first, then band-only faces, each tier ranked by depth relative to the
+    LOCAL front.
+
+    Global nearest-M selection (score = -fz) clusters every slot at the
+    tile's depth minimum when a tile overflows M: on a curved surface z
+    varies along the 128-px tile, so covering faces at the tile's far end
+    lose their slots to occluded-but-nearer faces at the near end
+    (measured at BASELINE config-5 density: ~10% of row energy wrong, max
+    pixel error 1.0 — whole silhouette strips render background).  Two
+    fixes compose here:
+
+    1. ``covers`` (true, UN-inflated footprint-bbox overlap) outranks
+       band-only candidacy by a constant tier bonus: a pixel's actual
+       front faces can never lose their slots to another pixel's blur-band
+       tail.  Covering faces per tile are bounded by the footprint density
+       (~130 at BASELINE config-5 density), so tier 1 fits in M=160.
+    2. Within a tier, faces rank by ``front[group(x_center)] - fz`` where
+       front is the minimum candidate depth of the face's x column group —
+       so near-front faces survive across the WHOLE tile and the drop
+       order is locally-farthest-first, the same degradation direction as
+       the reference's per-pixel keep-K-nearest (occluded fragments carry
+       exponentially small blend weight).
+
+    When nothing overflows the selected SET is unchanged (the score only
+    reorders it; the blend is slot-permutation invariant).
+
+    overlap/covers: (nt, R) bool; xlo/xhi/fz: (nt, R) f32 (broadcastable).
+    Returns (nt, R) f32 top_k score (-inf on non-candidates).
+    """
+    w = cfg.image_size
+    nt = overlap.shape[0]
+    p = min(cfg.p_tile, w)
+    q = max(1, min(16, p // 8))          # column groups of >= 8 px
+    gw = p // q
+    if cfg.p_tile < w and w % cfg.p_tile == 0:
+        c0 = (jnp.arange(nt, dtype=jnp.int32) * cfg.p_tile) % w
+    else:
+        c0 = jnp.zeros((nt,), jnp.int32)
+    fz_ = jnp.broadcast_to(fz, overlap.shape)
+    xlo_ = jnp.broadcast_to(xlo, overlap.shape)
+    xhi_ = jnp.broadcast_to(xhi, overlap.shape)
+
+    # NDC x of pixel column c is (w-1-2c)/w, decreasing in c.
+    def x_of(c):
+        return (w - 1.0 - 2.0 * c.astype(jnp.float32)) / w
+
+    # Face's column group from its bbox x-center (clipped into the tile).
+    xc = 0.5 * (xlo_ + xhi_)
+    cf = 0.5 * (w - 1.0 - w * xc)
+    grp = jnp.clip(((cf - c0[:, None].astype(jnp.float32)) / gw)
+                   .astype(jnp.int32), 0, q - 1)
+
+    tile_front = jnp.min(jnp.where(overlap, fz_, np.inf), axis=1,
+                         keepdims=True)
+    front = jnp.broadcast_to(tile_front, overlap.shape)
+    for j in range(q):
+        ca = c0 + j * gw
+        cb = c0 + (j + 1) * gw - 1
+        og = (overlap & (xlo_ <= x_of(ca)[:, None])
+              & (xhi_ >= x_of(cb)[:, None]))
+        fj = jnp.min(jnp.where(og, fz_, np.inf), axis=1, keepdims=True)
+        # Groups with no candidates fall back to the tile-global front.
+        fj = jnp.where(jnp.isfinite(fj), fj, tile_front)
+        front = jnp.where(grp == j, fj, front)
+    # Tier bonus: NDC depths are O(1), front - fz is bounded by the scene's
+    # z-range, so 1e4 strictly separates the tiers.
+    tier = jnp.where(covers, jnp.float32(1e4), jnp.float32(0.0))
+    return jnp.where(overlap, tier + front - fz_, -np.inf)
 
 
 def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col, blur):
-    """Bin-local face lists: the M *nearest* faces overlapping each tile
-    (by minimum corner depth), -1 padded — the `max_faces_per_bin` layout
-    of the reference's binned kernel
+    """Bin-local face lists: the M faces overlapping each tile that are
+    nearest the LOCAL front (see _front_rel_scores), -1 padded — the
+    `max_faces_per_bin` layout of the reference's binned kernel
     (`/root/reference/experiments/eval.py:139`).  When a tile overflows M,
-    the farthest faces are dropped — the same degradation direction as the
-    reference's keep-K-nearest fragment truncation (occluded fragments
-    carry exponentially small blend weight); overflow is *detected* (see
-    RasterizationSettings.bin_overflow) via the returned per-tile counts.
+    the locally-farthest faces are dropped — the same degradation
+    direction as the reference's keep-K-nearest fragment truncation
+    (occluded fragments carry exponentially small blend weight); overflow
+    is *detected* (see RasterizationSettings.bin_overflow) via the
+    returned per-tile counts.
 
     Returns (ids (nt, M), counts (nt,) candidate faces per tile).
     """
@@ -1093,10 +1172,16 @@ def _bin_face_ids(cfg: FusedConfig, fv_ndc, valid_col, blur):
     fv_ndc = jax.lax.stop_gradient(fv_ndc)
     validb = _face_validb(fv_ndc, valid_col)
     f = fv_ndc.shape[0]
+    band = jnp.sqrt(jnp.maximum(blur, 0.0))
+    xs = fv_ndc[:, 0::3]
     fz_min = jnp.min(fv_ndc[:, 2::3], axis=1)            # (F,)
     overlap = _tile_face_overlap(cfg, fv_ndc, validb, blur)
+    covers = _tile_face_overlap(cfg, fv_ndc, validb, jnp.zeros_like(blur))
     counts = jnp.sum(overlap.astype(jnp.int32), axis=1)  # (nt,)
-    score = jnp.where(overlap, -fz_min[None, :], -jnp.inf)
+    score = _front_rel_scores(cfg, overlap, covers,
+                              (jnp.min(xs, axis=1) - band)[None, :],
+                              (jnp.max(xs, axis=1) + band)[None, :],
+                              fz_min[None, :])
     top, idx = jax.lax.top_k(score, min(m, f))
     out = jnp.where(jnp.isfinite(top), idx.astype(jnp.int32), -1)
     if m > f:
@@ -1277,16 +1362,24 @@ def _binned_tables_sorted(cfg: FusedConfig, merged, fv_ndc, valid_col,
 
     def rep(a):                                          # (ng, rmax) -> (nt, rmax)
         return jnp.repeat(a, g, axis=0)[:nt]
-    overlap_t = ((rep(cslices[..., 0]) <= y_hi_t[:, None])
-                 & (rep(cslices[..., 1]) >= y_lo_t[:, None]))
+    # Inflated bbox columns, and the UN-inflated footprint bboxes for the
+    # covering tier (the slices store lo-band/hi+band, so strip the band).
+    lo_r, hi_r = rep(cslices[..., 0]), rep(cslices[..., 1])
+    xlo_r, xhi_r = rep(cslices[..., 2]), rep(cslices[..., 3])
+    overlap_t = (lo_r <= y_hi_t[:, None]) & (hi_r >= y_lo_t[:, None])
+    covers_t = ((lo_r + band <= y_hi_t[:, None])
+                & (hi_r - band >= y_lo_t[:, None]))
     if p < w and w % p == 0:
         c0 = (np.arange(nt) * p) % w
         x_hi = jnp.asarray((w - 1.0 - 2.0 * c0) / w, jnp.float32)
         x_lo = jnp.asarray((w - 1.0 - 2.0 * (c0 + p - 1)) / w, jnp.float32)
-        overlap_t = overlap_t & ((rep(cslices[..., 2]) <= x_hi[:, None])
-                                 & (rep(cslices[..., 3]) >= x_lo[:, None]))
+        overlap_t = overlap_t & ((xlo_r <= x_hi[:, None])
+                                 & (xhi_r >= x_lo[:, None]))
+        covers_t = covers_t & ((xlo_r + band <= x_hi[:, None])
+                               & (xhi_r - band >= x_lo[:, None]))
     counts = jnp.sum(overlap_t.astype(jnp.int32), axis=1)
-    score_t = jnp.where(overlap_t, -rep(cslices[..., 4]), -jnp.inf)
+    score_t = _front_rel_scores(cfg, overlap_t, covers_t & overlap_t,
+                                xlo_r, xhi_r, rep(cslices[..., 4]))
     topv, pos = jax.lax.top_k(score_t, min(m, rmax))     # (nt, M)
     local = jnp.where(jnp.isfinite(topv), pos.astype(jnp.int32), -1)
     if m > rmax:
@@ -2635,8 +2728,13 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     if f > k or f_pad > MAX_SLOTS:
         if sample_axis is not None:
             return None    # sharded fused path is flat-mode only
-        if (f <= _COARSE_THRESHOLD
-                and os.environ.get("PERTRENDERER_STREAM", "on") != "off"):
+        stream_env = os.environ.get("PERTRENDERER_STREAM", "on")
+        # 'on' (default): stream mid-poly meshes, bin very large ones;
+        # 'force': stream ANY size (exact but slow at config-5 scale —
+        # measured 0.2 renders/s vs binned's ~7.5 at 82k faces / 512^2);
+        # 'off': M-slot binned everywhere above flat capacity.
+        if ((f <= _COARSE_THRESHOLD or stream_env == "force")
+                and stream_env != "off"):
             stream = True
             # The kernels DMA _STREAM_CHUNK-row blocks from the HBM-resident
             # sorted table, so window extent never touches VMEM — rw is just

@@ -11,7 +11,12 @@ both the fused kernel's hierarchical bin selection and its in-kernel math.
 
 Checks (deterministic softras member — SoftRast+SoftAgg — so parity is
 exact math, not distribution):
-  1. forward RGBA parity on several 32-row strips;
+  1. forward RGBA parity on several 32-row strips, against BOTH the
+     K=`--k` oracle (the reference's truncated semantics) and a high-K
+     effectively-untruncated oracle (`--k-exact`, default 800 — above the
+     worst per-pixel candidate count at this density).  The binned fused
+     path is an M-per-tile approximation: its error should sit at the
+     K-truncation scale (~3e-2 here), not O(1);
   2. pose-gradient parity on one strip (fused loss restricted to the strip
      by a target equal to the fused render elsewhere; zero L2 diff pixels
      contribute zero gradient).
@@ -22,6 +27,7 @@ Writes artifacts/oracle_config5.json.
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -39,6 +45,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", type=int, default=512)
     ap.add_argument("--k", type=int, default=150)
+    ap.add_argument("--k-exact", type=int, default=800)
     ap.add_argument("--level", type=int, default=6)   # 81,920 faces
     ap.add_argument("--rc", type=int, default=32)     # strip rows
     ap.add_argument("--out", default=os.path.join(
@@ -88,15 +95,24 @@ def main():
     # Strips through the sphere's silhouette and interior.
     h = imsize
     strip_starts = [h // 4, h // 2 - args.rc // 2, 5 * h // 8]
+    settings_exact = dataclasses.replace(settings,
+                                         faces_per_pixel=args.k_exact)
     fwd_errs = {}
+    fwd_errs_exact = {}
     for r0 in strip_starts:
         frag = rasterize_planar_rows(mesh, cameras, settings, r0, args.rc)
         img_strip = np.asarray(shader(frag, mesh, key=key, cameras=cameras))
         err = float(np.abs(
             img_fused[:, r0:r0 + args.rc] - img_strip).max())
         fwd_errs[str(r0)] = err
+        frag_x = rasterize_planar_rows(mesh, cameras, settings_exact,
+                                       r0, args.rc)
+        img_x = np.asarray(shader(frag_x, mesh, key=key, cameras=cameras))
+        err_x = float(np.abs(
+            img_fused[:, r0:r0 + args.rc] - img_x).max())
+        fwd_errs_exact[str(r0)] = err_x
         print(f"strip rows [{r0}, {r0 + args.rc}): max |fused - oracle| "
-              f"= {err:.3e}")
+              f"= {err:.3e} (K={k}), {err_x:.3e} (K={args.k_exact})")
 
     # Pose-gradient parity on the middle strip: the fused loss sees a
     # target equal to its own render outside the strip (zero L2 residual
@@ -136,6 +152,8 @@ def main():
                   f"({int(mesh.num_faces[0])} faces), {imsize}^2, K={k}, "
                   "softras member, fused-binned vs flat strip oracle",
         "forward_max_abs_err_by_strip": fwd_errs,
+        "forward_max_abs_err_by_strip_untruncated": fwd_errs_exact,
+        "k_exact": args.k_exact,
         "pose_grad_rel_err": rel,
         "backend": jax.default_backend(),
     }

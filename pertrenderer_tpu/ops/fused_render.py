@@ -211,7 +211,7 @@ def _draw_block(noise_type: str, seed0, seed1, s, c, p, pos, row_base=0):
     ~60 us transcendental budget is already near the VPU floor.)
 
     ``row_base`` offsets the hashed channel ids — the streaming kernel
-    draws chunk blocks whose rows key on window-local face indices."""
+    draws chunk blocks whose rows key on absolute sorted-face indices."""
     if noise_type == "gaussian":
         ch = c // 2
         rows = jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0) + row_base
@@ -1007,6 +1007,39 @@ def _tile_y_ranges(cfg: FusedConfig):
     return y_hi, y_lo
 
 
+def _tile_rects(cfg: FusedConfig):
+    """Static per-tile NDC rectangle (y_hi, y_lo, x_hi, x_lo), each (nt,)
+    numpy — the pixel-center bounds of the tile for strip and 2-D tilings
+    (used by the streaming chunk-list prepass)."""
+    h = w = cfg.image_size
+    p, nt = cfg.p_tile, _n_tiles(cfg)
+    if cfg.tile_w:
+        tw = cfg.tile_w
+        th, ntx = p // tw, w // tw
+        tids = np.arange(nt)
+        r0 = (tids // ntx) * th
+        c0 = (tids % ntx) * tw
+        y_hi = (h - 1.0 - 2.0 * r0) / h
+        y_lo = (h - 1.0 - 2.0 * (r0 + th - 1)) / h
+        x_hi = (w - 1.0 - 2.0 * c0) / w
+        x_lo = (w - 1.0 - 2.0 * (c0 + tw - 1)) / w
+    else:
+        starts = np.arange(nt) * p
+        ends = np.minimum(starts + p, h * w) - 1
+        r0, r1 = starts // w, ends // w
+        y_hi = (h - 1.0 - 2.0 * r0) / h
+        y_lo = (h - 1.0 - 2.0 * r1) / h
+        if p < w and w % p == 0:
+            c0 = starts % w
+            x_hi = (w - 1.0 - 2.0 * c0) / w
+            x_lo = (w - 1.0 - 2.0 * (c0 + p - 1)) / w
+        else:
+            x_hi = np.full(nt, (w - 1.0) / w)
+            x_lo = np.full(nt, -(w - 1.0) / w)
+    return (y_hi.astype(np.float32), y_lo.astype(np.float32),
+            x_hi.astype(np.float32), x_lo.astype(np.float32))
+
+
 def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
     """(n_tiles, F) conservative face/tile overlap from bboxes expanded by
     the blur band.  Tiles spanning whole pixel rows test y only; sub-row
@@ -1762,11 +1795,14 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 # The M-slot binned mode truncates when a tile's candidate set exceeds
 # MAX_BIN_SLOTS (VMEM-bound); dense scenes at 128^2-256^2 (the icosphere at
 # 128^2, the cow at 256^2) need hundreds-to-thousands of candidates per
-# tile.  Streaming mode processes each tile's y-sorted window in fixed
-# _STREAM_CHUNK-face chunks with O(chunk) VMEM, maintaining running
-# per-sample argmax winners (and an online softmax for SoftAgg) — every
-# candidate face participates, exactly like flat mode's slots-are-faces
-# semantics, with no truncation at any coverage density.
+# tile.  Streaming mode processes each tile's candidate chunks — an
+# explicit per-tile list built by an XLA prepass over the (y-bucket, x)
+# two-level-sorted face table — in fixed _STREAM_CHUNK-face chunks with
+# O(chunk) VMEM, maintaining running per-sample argmax winners (and an
+# online softmax for SoftAgg) — every candidate face participates, exactly
+# like flat mode's slots-are-faces semantics, with no truncation at any
+# coverage density.  The chunk list is read in-kernel from SMEM with a
+# traced index (capability pinned by tools/probe_smem_rows.py).
 #
 # Deliberate deviation from the flat kernel (documented): the z_map
 # max-stabilization shift (z_inv_max, smoothagg.py:50-53) is omitted.  The
@@ -1775,12 +1811,14 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 # its only trace is a zero-mean per-sample term in the MC z-gradients (and
 # exactly zero for the deterministic members).
 #
-# Noise channels key on *window-local* face rows (plus the absolute pixel
-# position): replay-exact within a tile, independent across pixels.
+# Noise channels key on *absolute sorted-face* rows (plus the absolute
+# pixel position): replay-exact between the forward kernel and the
+# backward's two replay passes regardless of which chunks a tile visits,
+# independent across pixels.
 
 _STREAM_CHUNK = 128       # faces per streamed chunk
-_STREAM_GROUP = 8         # tiles sharing one window table block
-_BIG_LO = 1e30            # lo sentinel for invalid/padding rows
+_STREAM_BUCKET_ROWS = 16  # y-bucket height (px) of the two-level sort key
+_BIG_LO = 1e30            # sort-key sentinel for invalid/padding rows
 
 
 def _prod_rows(x):
@@ -1851,23 +1889,25 @@ def _stream_zmap(cfg, prob, z, maskf, scal):
     return scaled + z_inv
 
 
-def _stream_chunk_iter(cfg, nchunk_ref, body, carry):
-    """fori over the group's ACTIVE chunk prefix.  Chunks are lo-sorted, so
-    active chunks form a prefix of the window: the host passes their count
-    as a per-tile scalar and the loop's trip count is dynamic (Mosaic
-    lowers scalar bounds fine; dynamic per-chunk bit loads from VMEM lanes
-    do not lower)."""
-    return jax.lax.fori_loop(0, nchunk_ref[0, 0, 0], body, carry)
+def _stream_chunk_iter(rows_ref, n_ref, body, carry):
+    """fori over the tile's explicit chunk list: ``rows_ref`` holds the
+    ascending chunk ids that overlap this tile (prepass bbox test), ``n``
+    their count.  The list lives in SMEM so the traced loop index can read
+    each chunk id dynamically (lowering pinned by
+    tools/probe_smem_rows.py); ``body`` receives the CHUNK ID, not the
+    loop position."""
+    def b(q, c):
+        return body(rows_ref[0, 0, q], c)
+    return jax.lax.fori_loop(0, n_ref[0, 0, 0], b, carry)
 
 
-def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
+def _stream_forward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                            seeds_ref, tab_hbm, scal_ref, out_ref,
                            scratch, sem, *, cfg):
     tile = tile_ref[0, 0, 0]
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
     scal = scal_ref[:]
     ch, p = _STREAM_CHUNK, cfg.p_tile
-    start = start_ref[0, 0, 0]
     gamma = scal[0, _S_GAMMA]
     sigma = scal[0, _S_SIGMA]
     s_agg = cfg.s_agg if cfg.agg_kind == "mc" else 1
@@ -1894,9 +1934,9 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             winc = [jnp.concatenate([c] * s_agg, 0) for c in bgc]  # (S, P)
             st0 = (jnp.ones((1, p), jnp.float32), runmax, winc)
 
-        def body(c, st):
+        def body(cid, st):
             cp = pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(start + c * ch, ch), :], scratch, sem)
+                tab_hbm.at[pl.ds(cid * ch, ch), :], scratch, sem)
             cp.start()
             cp.wait()
             blk = scratch[:]
@@ -1905,7 +1945,7 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             if cfg.rast_kind == "mc":
                 prob_raw = _mc_rast_forward(cfg, -dist, sigma,
                                             seeds_ref[0, 0], seeds_ref[0, 1],
-                                            pos, row_base=c * ch)
+                                            pos, row_base=cid * ch)
             else:
                 prob_raw = _make_det_rast(cfg)(dist, scal)
             prob = prob_raw * maskf
@@ -1935,7 +1975,7 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 else:
                     n = _draw_block(cfg.agg_noise, seeds_ref[0, 2],
                                     seeds_ref[0, 3], s, ch, p, pos,
-                                    row_base=c * ch)
+                                    row_base=cid * ch)
                     val = zmap + gamma * n
                 m, hot, _ = _first_hot_rows(val)
                 cc = [jnp.sum(hot * ci, axis=0, keepdims=True)
@@ -1953,7 +1993,7 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 s_agg, s_body, (runmax, winc[0], winc[1], winc[2]))
             return (alpha, runmax, [wc0, wc1, wc2])
 
-        st = _stream_chunk_iter(cfg, nchunk_ref, body, st0)
+        st = _stream_chunk_iter(rows_ref, n_ref, body, st0)
         if cfg.agg_kind == "soft":
             alpha, _, den, num = st
             rgb = [n_ / den for n_ in num]
@@ -1966,7 +2006,7 @@ def _stream_forward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                               lambda _: _bg_image(cfg, scal), None)
 
 
-def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
+def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                             seeds_ref, tab_hbm, scal_ref, g_out_ref,
                             gz_hbm, g_gtab_hbm, g_scal_ref,
                             scratch, gscr, sem, sem2, *, cfg):
@@ -1975,7 +2015,6 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
     scal = scal_ref[:]
     g_rgba = g_out_ref[:]
     ch, p, rw = _STREAM_CHUNK, cfg.p_tile, cfg.rw
-    start = start_ref[0, 0, 0]
     gamma = scal[0, _S_GAMMA]
     sigma = scal[0, _S_SIGMA]
     td = cfg.tex_d
@@ -1990,16 +2029,16 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
     # The gradient table lives in HBM (aliased to a zeros input); chunks
     # accumulate by read-modify-write.  The TPU grid is sequential, so the
     # RMW is race-free across tiles.
-    def chunk_blk(c):
+    def chunk_blk(cid):
         cp = pltpu.make_async_copy(
-            tab_hbm.at[pl.ds(start + c * ch, ch), :], scratch, sem)
+            tab_hbm.at[pl.ds(cid * ch, ch), :], scratch, sem)
         cp.start()
         cp.wait()
         return scratch[:]
 
-    def agg_noise(s, c):
+    def agg_noise(s, cid):
         return _draw_block(cfg.agg_noise, seeds_ref[0, 2], seeds_ref[0, 3],
-                           s, ch, p, pos, row_base=c * ch)
+                           s, ch, p, pos, row_base=cid * ch)
 
     def pipeline(_):
         # ---- pass B1: replay forward, stash per-sample winner info -------
@@ -2035,14 +2074,14 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                    runmax, winid, winc, phi, rm0, w0c,
                    jnp.float32(0.0))                   # nreal
 
-        def body1(c, st):
-            blk = chunk_blk(c)
+        def body1(cid, st):
+            blk = chunk_blk(cid)
             dist, z, c0, c1, c2, maskf = _stream_chunk_det(
                 cfg, px, py, pixvalid, scal, blk)
             if cfg.rast_kind == "mc":
                 prob_raw = _mc_rast_forward(cfg, -dist, sigma,
                                             seeds_ref[0, 0], seeds_ref[0, 1],
-                                            pos, row_base=c * ch)
+                                            pos, row_base=cid * ch)
             else:
                 prob_raw = _make_det_rast(cfg)(dist, scal)
             prob = prob_raw * maskf
@@ -2078,7 +2117,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 if cfg.agg_kind == "hard":
                     val, n = zmap, None
                 else:
-                    n = agg_noise(s, c)
+                    n = agg_noise(s, cid)
                     val = zmap + gamma * n
                 m, hot, first = _first_hot_rows(val)
                 cc = [jnp.sum(hot * ci, axis=0, keepdims=True)
@@ -2088,7 +2127,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 runmax = _row_set(runmax, s, jnp.where(better, m, rm))
                 wid = _row_at(winid, s)
                 winid = _row_set(winid, s, jnp.where(
-                    better, (first + c * ch).astype(jnp.float32), wid))
+                    better, (first + cid * ch).astype(jnp.float32), wid))
                 outs = []
                 for w_, ci in zip((w0_, w1_, w2_), cc):
                     outs.append(_row_set(
@@ -2108,7 +2147,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             return (zcnt, pnz, runmax, winid, [wc0, wc1, wc2], phi, rm0,
                     w0c, nreal + ch)
 
-        st = _stream_chunk_iter(cfg, nchunk_ref, body1, st0)
+        st = _stream_chunk_iter(rows_ref, n_ref, body1, st0)
 
         # ---- post-B1: per-sample cotangent scalars -----------------------
         g_scal = jnp.zeros((1, _NS), jnp.float32)
@@ -2149,9 +2188,9 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             aux = None
 
         # ---- pass B2: per-chunk gradients --------------------------------
-        def body2(c, carry):
+        def body2(cid, carry):
             g_scal_acc = carry
-            blk = chunk_blk(c)
+            blk = chunk_blk(cid)
             (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
                 lambda a, b, d, e, f: _stream_chunk_det(
                     cfg, px, py, pixvalid, f,
@@ -2162,7 +2201,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             if cfg.rast_kind == "mc":
                 prob_raw, coeff = _mc_rast_fwd_coeff(
                     cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1],
-                    pos, row_base=c * ch)
+                    pos, row_base=cid * ch)
                 vjp_rast = None
             else:
                 prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
@@ -2173,7 +2212,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 prob, z, scal)
 
             rows_f = (jax.lax.broadcasted_iota(jnp.int32, (ch, p), 0)
-                      + c * ch).astype(jnp.float32)
+                      + cid * ch).astype(jnp.float32)
 
             # z_map cotangent from the aggregation.
             if cfg.agg_kind == "soft":
@@ -2195,7 +2234,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                        for g in g_rgb]
             else:
                 def sb(s, acc):
-                    n = agg_noise(s, c)
+                    n = agg_noise(s, cid)
                     d_s = _row_at(dot, s)
                     return acc + d_s * _score(n, cfg.agg_noise)
                 acc_z = _sample_loop(s_agg, sb,
@@ -2236,7 +2275,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
                 [g_ndc, g_world, g_fn, g_tex,
                  jnp.zeros((ch, gscr.shape[1] - df + 1), jnp.float32)],
                 axis=1)
-            rows = g_gtab_hbm.at[pl.ds(start + c * ch, ch), :]
+            rows = g_gtab_hbm.at[pl.ds(cid * ch, ch), :]
             rd = pltpu.make_async_copy(rows, gscr, sem2)
             rd.start()
             rd.wait()
@@ -2246,7 +2285,7 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
             wr.wait()
             return (g_scal_acc + g_scal_z + g_scal_c + g_scal_r + g_scal_1)
 
-        g_scal = _stream_chunk_iter(cfg, nchunk_ref, body2, g_scal)
+        g_scal = _stream_chunk_iter(rows_ref, n_ref, body2, g_scal)
         return g_scal
 
     def bg_only(_):
@@ -2269,23 +2308,23 @@ def _stream_backward_kernel(tile_ref, active_ref, nchunk_ref, start_ref,
 
 
 def _stream_specs(cfg: FusedConfig):
-    g = _STREAM_GROUP
+    nch = cfg.rw // _STREAM_CHUNK
     return [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # tile ids
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # active bits
-        pl.BlockSpec((1, 1, 1), lambda i, g=g: (i // g, 0, 0),
-                     memory_space=pltpu.VMEM),          # chunk count
-        pl.BlockSpec((1, 1, 1), lambda i, g=g: (i // g, 0, 0),
-                     memory_space=pltpu.VMEM),          # window start row
+        pl.BlockSpec((1, 1, nch), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),          # per-tile chunk list
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),          # chunk count
         _const_spec((1, 8)),                            # seeds
         pl.BlockSpec(memory_space=pl.ANY),           # sorted face table
         _const_spec((1, _NS)),                          # scal
     ]
 
 
-def _pallas_stream_forward(cfg, tab, nchunks, starts, active, scal, seeds):
+def _pallas_stream_forward(cfg, tab, rows, n, active, scal, seeds):
     nt = _n_tiles(cfg)
     df = _round_up(27 + cfg.tex_d + 1, 128)
     return pl.pallas_call(
@@ -2300,11 +2339,10 @@ def _pallas_stream_forward(cfg, tab, nchunks, starts, active, scal, seeds):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, nchunks, starts, seeds, tab, scal)
+    )(_tile_ids(cfg), active, rows, n, seeds, tab, scal)
 
 
-def _pallas_stream_backward(cfg, tab, nchunks, starts, active, scal, seeds,
-                            g_out):
+def _pallas_stream_backward(cfg, tab, rows, n, active, scal, seeds, g_out):
     nt = _n_tiles(cfg)
     df = _round_up(27 + cfg.tex_d + 1, 128)
     return pl.pallas_call(
@@ -2331,28 +2369,27 @@ def _pallas_stream_backward(cfg, tab, nchunks, starts, active, scal, seeds,
         ],
         input_output_aliases={8: 0},
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, nchunks, starts, seeds, tab, scal, g_out,
+    )(_tile_ids(cfg), active, rows, n, seeds, tab, scal, g_out,
       jnp.zeros((cfg.rw, df), jnp.float32))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_core_stream(cfg, tab, scal, nchunks, starts, active, seeds):
-    return _pallas_stream_forward(cfg, tab, nchunks, starts, active, scal,
-                                  seeds)
+def _fused_core_stream(cfg, tab, scal, rows, n, active, seeds):
+    return _pallas_stream_forward(cfg, tab, rows, n, active, scal, seeds)
 
 
-def _fcstream_fwd(cfg, tab, scal, nchunks, starts, active, seeds):
-    out = _fused_core_stream(cfg, tab, scal, nchunks, starts, active, seeds)
-    return out, (tab, scal, nchunks, starts, active, seeds)
+def _fcstream_fwd(cfg, tab, scal, rows, n, active, seeds):
+    out = _fused_core_stream(cfg, tab, scal, rows, n, active, seeds)
+    return out, (tab, scal, rows, n, active, seeds)
 
 
 def _fcstream_bwd(cfg, res, g):
-    tab, scal, nchunks, starts, active, seeds = res
-    g_tab, g_scal = _pallas_stream_backward(cfg, tab, nchunks, starts,
-                                            active, scal, seeds, g)
+    tab, scal, rows, n, active, seeds = res
+    g_tab, g_scal = _pallas_stream_backward(cfg, tab, rows, n, active,
+                                            scal, seeds, g)
     return (g_tab, g_scal,
-            np.zeros(nchunks.shape, jax.dtypes.float0),
-            np.zeros(starts.shape, jax.dtypes.float0),
+            np.zeros(rows.shape, jax.dtypes.float0),
+            np.zeros(n.shape, jax.dtypes.float0),
             np.zeros(active.shape, jax.dtypes.float0),
             np.zeros(seeds.shape, jax.dtypes.float0))
 
@@ -2361,60 +2398,92 @@ _fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
 
 
 def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
-    """Streaming-mode table: ONE y-sorted face table (kept in HBM by the
-    kernels, which DMA _STREAM_CHUNK-row blocks on demand) with a trailing
-    sort-key column (doubles as the validity/padding sentinel), plus each
-    tile group's chunk-aligned window start and chunk count.  Windows are
-    exact for any F — VMEM holds only one chunk, never the window.
+    """Streaming-mode table + per-tile chunk lists.
+
+    The face table is sorted by a two-level (y-bucket, x-min) key and kept
+    in HBM; the kernels DMA _STREAM_CHUNK-row blocks on demand.  An XLA
+    prepass computes each chunk's blur-inflated bbox (segment min/max over
+    its rows) and emits, per tile, the EXPLICIT ascending list of chunks
+    whose bbox overlaps the tile rect (read in-kernel via dynamic SMEM
+    indexing).  The two-level sort makes chunks compact in BOTH axes, so
+    bbox culling excises most of the blur-band slop that a pure y-window
+    re-reads; correctness never depends on it — chunk bboxes bound every
+    face bbox, so every candidate face is processed, and slop rows fail the
+    in-kernel coverage test (exact no-ops), at any density or blur.
+
     Differentiable w.r.t. ``merged`` (permutation-gather VJP — no scalar
-    scatters)."""
+    scatters).  Returns (tab (rw, dfp), rows (nt, 1, nch), n (nt, 1, 1))
+    with the trailing table column the sort key (doubles as the
+    validity/padding sentinel)."""
     nt = _n_tiles(cfg)
-    g = _STREAM_GROUP
-    ng = -(-nt // g)
     ch = _STREAM_CHUNK
     f = fv_ndc.shape[0]
+    h = cfg.image_size
     band = jnp.sqrt(jnp.maximum(blur, 0.0))
 
     fv_s = jax.lax.stop_gradient(fv_ndc)
     validb = _face_validb(fv_ndc, valid_col)
     ys = fv_s[:, 1::3]
+    xs = fv_s[:, 0::3]
     lo = jnp.min(ys, axis=1) - band
     hi = jnp.max(ys, axis=1) + band
-    key = jnp.where(validb, lo, _BIG_LO)
+    xlo = jnp.min(xs, axis=1) - band
+    xhi = jnp.max(xs, axis=1) + band
+
+    # Two-level sort key: y-bucket of the inflated bbox top (NDC y
+    # decreases with pixel row), then x-min within the bucket.  The key
+    # only shapes chunk LOCALITY (culling efficiency) — any order is
+    # exact — so f32 quantization slop is harmless.
+    nb = max(1, -(-h // _STREAM_BUCKET_ROWS))
+    b = jnp.clip(jnp.floor((1.0 - lo) * (h * 0.5 / _STREAM_BUCKET_ROWS)),
+                 0.0, nb - 1.0)
+    xn = jnp.clip((xlo + 2.0) * 0.25, 0.0, 1.0)
+    key = jnp.where(validb, b * 8.0 + xn * 4.0, _BIG_LO)
     perm = jnp.argsort(key)
     inv_perm = jnp.argsort(perm)
-    sk = key[perm]
-    maxext = jnp.max(jnp.where(validb, hi - lo, 0.0))
-
-    y_hi_t, y_lo_t = _tile_y_ranges(cfg)
-    pad_t = ng * g - nt
-    y_hi_g = jnp.max(jnp.pad(y_hi_t, (0, pad_t),
-                             constant_values=-np.inf).reshape(ng, g), axis=1)
-    y_lo_g = jnp.min(jnp.pad(y_lo_t, (0, pad_t),
-                             constant_values=np.inf).reshape(ng, g), axis=1)
-    # Rows past e_g have lo > the group's top y (no overlap); rows before
-    # s_g have hi < lo + maxext < the group's bottom y (no overlap).  The
-    # chunk-alignment slop on both sides is an exact no-op: out-of-band
-    # faces get prob = 0 from the coverage test itself.
-    e_g = jnp.searchsorted(sk, y_hi_g, side="right").astype(jnp.int32)
-    s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left").astype(jnp.int32)
-    starts = (jnp.maximum(s_g, 0) // ch) * ch
-    nchunks = jnp.maximum(-(-(e_g - starts) // ch), 0)
 
     f_rows = cfg.rw                                      # round_up(f, chunk)
+    nch = f_rows // ch
+
+    def chunk_reduce(col, sentinel, red):
+        colp = jnp.concatenate(
+            [col[perm], jnp.full((f_rows - f,), sentinel, jnp.float32)])
+        return red(colp.reshape(nch, ch), axis=1)        # (nch,)
+    clo = chunk_reduce(lo, _BIG_LO, jnp.min)
+    chi = chunk_reduce(hi, -_BIG_LO, jnp.max)
+    cxlo = chunk_reduce(xlo, _BIG_LO, jnp.min)
+    cxhi = chunk_reduce(xhi, -_BIG_LO, jnp.max)
+    # Invalid faces carry real bbox values; exclude them from chunk bboxes
+    # so the all-invalid tail chunks never schedule.  (Mixed chunks still
+    # schedule — their invalid rows are masked in-kernel.)
+    vmask = jnp.concatenate(
+        [validb[perm], jnp.zeros((f_rows - f,), bool)]).reshape(nch, ch)
+    anyv = jnp.any(vmask, axis=1)
+    clo = jnp.where(anyv, clo, _BIG_LO)
+    chi = jnp.where(anyv, chi, -_BIG_LO)
+
+    ty_hi, ty_lo, tx_hi, tx_lo = (jnp.asarray(a) for a in _tile_rects(cfg))
+    ov = ((clo[None, :] <= ty_hi[:, None]) & (chi[None, :] >= ty_lo[:, None])
+          & (cxlo[None, :] <= tx_hi[:, None])
+          & (cxhi[None, :] >= tx_lo[:, None]))           # (nt, nch)
+    n = jnp.sum(ov.astype(jnp.int32), axis=1)
+    # Ascending chunk ids, overlapping first (stable argsort of ~overlap).
+    rows = jnp.argsort(~ov, axis=1, stable=True).astype(jnp.int32)
+
     d = merged.shape[1]
     merged_s = _permute_rows(merged, perm, inv_perm)
     merged_s = jnp.concatenate(
         [merged_s, jnp.zeros((f_rows - f, d), merged.dtype)], axis=0)
-    lo_pad = jnp.concatenate(
-        [sk, jnp.full((f_rows - f,), _BIG_LO, jnp.float32)])[:, None]
+    key_pad = jnp.concatenate(
+        [jnp.where(validb, key, _BIG_LO)[perm],
+         jnp.full((f_rows - f,), _BIG_LO, jnp.float32)])[:, None]
     # Chunk DMA slices must be lane-aligned: pad columns to a multiple of
     # 128 (Mosaic rejects partial-lane slices of an HBM-resident table).
     dfp = _round_up(d + 1, 128)
     tab = jnp.concatenate(
-        [merged_s, lo_pad,
+        [merged_s, key_pad,
          jnp.zeros((f_rows, dfp - d - 1), jnp.float32)], axis=1)
-    return tab, starts.reshape(ng, 1, 1), nchunks.reshape(ng, 1, 1)
+    return tab, rows.reshape(nt, 1, nch), n.reshape(nt, 1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -2956,7 +3025,7 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         merged = jnp.concatenate([fv_ndc, fv_world, fn_world, tex_tab],
                                  axis=-1)
         validf_f = validf.astype(jnp.float32)
-        tab, starts, nchunks = jax.vmap(
+        tab, rows, nch = jax.vmap(
             partial(_stream_tables, cfg),
             in_axes=(0, 0, 0, None))(merged, fv_ndc, validf_f, blur)
         active = jax.vmap(
@@ -2964,7 +3033,7 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         )(fv_ndc, validf_f)
         scal = _pack_scal(cfg, n, cameras, lights, materials, smoothrast,
                           smoothagg, blend_params, blur)
-        return tab, scal, nchunks, starts, active, seeds
+        return tab, scal, rows, nch, active, seeds
 
     if cfg.binned:
         from pertrenderer_tpu.ops.gather import take_rows

@@ -265,7 +265,10 @@ def test_stream_mode_selected_and_matches_untruncated(monkeypatch):
         b = np.asarray(ren_big(mesh, key=key))
         os.environ["PERTRENDERER_FUSED"] = "interpret"
         assert (b[..., 3] > 0.5).mean() > 0.2
-        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+        # atol: the streamed online softmax accumulates in (y-bucket, x)
+        # table order, not the staged path's face order — pure f32
+        # reassociation drift, worst-case ~1e-5 on this scene.
+        np.testing.assert_allclose(a, b, atol=3e-5, err_msg=name)
 
 
 def test_stream_gradients_match_staged(monkeypatch):
@@ -308,7 +311,9 @@ def test_stream_gradients_match_staged(monkeypatch):
                        gf, gx):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-10)
-        assert np.abs(a - b).max() / scale < 2e-4, (n, a, b)
+        # 5e-4: scalar grads accumulate per-chunk in (y-bucket, x) table
+        # order vs the staged path's face order — f32 reassociation only.
+        assert np.abs(a - b).max() / scale < 5e-4, (n, a, b)
 
 
 def test_stream_cow_and_sphere128(monkeypatch):

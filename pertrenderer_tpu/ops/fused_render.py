@@ -2368,6 +2368,12 @@ def _pallas_stream_backward(cfg, tab, rows, n, active, scal, seeds, g_out):
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={8: 0},
+        # The in-kernel vjp's residual live set scales with (chunk x tile)
+        # pixels; the compiler's default 16M scoped-vmem budget caps tiles
+        # at (1, 128).  Physical VMEM is far larger — raise the budget so
+        # (8, 128) tiles fit (measured 54M at p_tile=1024).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
     )(_tile_ids(cfg), active, rows, n, seeds, tab, scal, g_out,
       jnp.zeros((cfg.rw, df), jnp.float32))
@@ -2810,7 +2816,27 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             # the table's padded row count (and the PRNG background row).
             rw = _round_up(f, _STREAM_CHUNK)
             f_pad = f_real = _STREAM_CHUNK
-            p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
+            # 2-D stream tiles: the blur band (tens of px) dominates the
+            # tile's own extent, so a (TH, TW) rectangle's candidate chunk
+            # set is nearly TH-invariant — TH rows share every chunk's DMA
+            # and geometry/shading detection work.  Strip tiling remains
+            # for images the rectangle doesn't divide.
+            # (8, 32) measured best at config-5 density (82k faces, 512^2):
+            # the blur band dominates both tile extents, so smaller rects
+            # carry less band slop per pixel; p_tile must stay a lane
+            # multiple.  Config-5 scan (ms/step): (1,128) strip 2289,
+            # (8,128) 2091, (8,64) 1425, (8,32) 1205, (16,32) 1257.
+            tw = min(int(os.environ.get("PERTRENDERER_STREAM_TW", "32")),
+                     settings.image_size)
+            th = int(os.environ.get("PERTRENDERER_STREAM_TH", "8"))
+            if (th > 1 and (th * tw) % 128 == 0
+                    and settings.image_size % tw == 0
+                    and settings.image_size % th == 0):
+                p_tile = th * tw
+                stream_tile_w = tw
+            else:
+                p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
+                stream_tile_w = 0
         else:
             m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
                     MAX_BIN_SLOTS)
@@ -2841,7 +2867,9 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     # the bbox activity prepass then skips background in both axes (a row
     # strip through the object is mostly background left and right of it).
     tile_w = 0
-    if not binned and not stream:
+    if stream:
+        tile_w = stream_tile_w
+    elif not binned:
         tw = 64
         th = p_tile // tw if p_tile % tw == 0 else 0
         if (th > 1 and settings.image_size > tw

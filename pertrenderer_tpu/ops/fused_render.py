@@ -2010,10 +2010,35 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                             seeds_ref, tab_hbm, scal_ref, g_out_ref,
                             gz_hbm, g_gtab_hbm, g_scal_ref,
                             scratch, gscr, sem, sem2, *, cfg):
+    _stream_grad_impl(cfg, None, tile_ref, active_ref, rows_ref, n_ref,
+                      seeds_ref, tab_hbm, scal_ref, g_out_ref, None, None,
+                      None, g_gtab_hbm, g_scal_ref, scratch, gscr, sem, sem2)
+
+
+def _stream_loss_grad_kernel(tile_ref, active_ref, rows_ref, n_ref,
+                             seeds_ref, tab_hbm, scal_ref, target_ref,
+                             lscale_ref, gz_hbm, loss_ref, g_gtab_hbm,
+                             g_scal_ref, scratch, gscr, sem, sem2, *, cfg,
+                             loss_kind):
+    """Streaming value-and-grad: the backward's two chunk passes with the
+    image-loss cotangent derived in place after the replay pass — a full
+    loss+grad step costs TWO chunk sweeps instead of the three of
+    forward-kernel + backward-kernel (flat-mode analog: _loss_grad_kernel).
+    The alpha/product track is skipped entirely: the image losses read only
+    the RGB channels, so the alpha cotangent is identically zero."""
+    _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
+                      seeds_ref, tab_hbm, scal_ref, None, target_ref,
+                      lscale_ref, loss_ref, g_gtab_hbm, g_scal_ref, scratch,
+                      gscr, sem, sem2)
+
+
+def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
+                      seeds_ref, tab_hbm, scal_ref, g_out_ref, target_ref,
+                      lscale_ref, loss_ref, g_gtab_hbm, g_scal_ref,
+                      scratch, gscr, sem, sem2):
     tile = tile_ref[0, 0, 0]
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
     scal = scal_ref[:]
-    g_rgba = g_out_ref[:]
     ch, p, rw = _STREAM_CHUNK, cfg.p_tile, cfg.rw
     gamma = scal[0, _S_GAMMA]
     sigma = scal[0, _S_SIGMA]
@@ -2021,8 +2046,14 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
     df = 27 + td + 1
     mc_agg = cfg.agg_kind == "mc"
     s_agg = cfg.s_agg if mc_agg else 1
-    g_rgb = [g_rgba[c:c + 1] for c in range(3)]
-    g_alpha = g_rgba[3:4]
+    track_alpha = loss_kind is None
+    if track_alpha:
+        g_rgba = g_out_ref[:]
+        g_rgb_ext = [g_rgba[c:c + 1] for c in range(3)]
+        g_alpha = g_rgba[3:4]
+    else:
+        pvf = pixvalid.astype(jnp.float32)
+        lscale = lscale_ref[0, 0]
     bgc = [jnp.full((1, p), scal[0, _S_BG + c]) for c in range(3)]
     cols_ns = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
 
@@ -2086,10 +2117,13 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                 prob_raw = _make_det_rast(cfg)(dist, scal)
             prob = prob_raw * maskf
             zmap = _stream_zmap(cfg, prob, z, maskf, scal)
-            one = (prob >= 1.0)
-            zcnt = st[0] + jnp.sum(one.astype(jnp.float32), axis=0,
-                                   keepdims=True)
-            pnz = st[1] * _prod_rows(jnp.where(one, 1.0, 1.0 - prob))
+            if track_alpha:
+                one = (prob >= 1.0)
+                zcnt = st[0] + jnp.sum(one.astype(jnp.float32), axis=0,
+                                       keepdims=True)
+                pnz = st[1] * _prod_rows(jnp.where(one, 1.0, 1.0 - prob))
+            else:
+                zcnt, pnz = st[0], st[1]
 
             if cfg.agg_kind == "soft":
                 _, _, m_old, den, num = st
@@ -2149,9 +2183,21 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
 
         st = _stream_chunk_iter(rows_ref, n_ref, body1, st0)
 
-        # ---- post-B1: per-sample cotangent scalars -----------------------
+        # ---- post-B1: loss cotangent + per-sample cotangent scalars ------
+        if loss_kind is None:
+            g_rgb, loss_tile = g_rgb_ext, jnp.float32(0.0)
+        else:
+            # Reconstruct the forward RGB from the replay state; the loss
+            # cotangent needs no separate forward sweep.
+            if cfg.agg_kind == "soft":
+                rgb_rows = [num_c / st[3] for num_c in st[4]]
+            else:
+                rgb_rows = [jnp.mean(w_, axis=0, keepdims=True)
+                            for w_ in st[4]]
+            loss_tile, g_rgb = _loss_cotangent(loss_kind, rgb_rows,
+                                               target_ref, pvf, lscale)
         g_scal = jnp.zeros((1, _NS), jnp.float32)
-        g_prod = -g_alpha                     # alpha = 1 - prod(1 - p)
+        g_prod = -g_alpha if track_alpha else None  # alpha = 1 - prod(1 - p)
         if cfg.agg_kind == "soft":
             zcnt, pnz, m_fin, den, num = st
             rgb = [n_ / den for n_ in num]
@@ -2252,13 +2298,16 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
 
             g_prob_z, g_z, g_scal_z = vjp_z(g_zmap)
 
-            # alpha-product cotangent (exact exclusion products).
-            one = (prob >= 1.0)
-            excl = jnp.where(
-                one, jnp.where(zcnt == 1.0, pnz, 0.0),
-                jnp.where(zcnt == 0.0, pnz / jnp.where(one, 1.0, 1.0 - prob),
-                          0.0))
-            g_prob = g_prob_z + g_prod * (-excl)
+            if track_alpha:
+                # alpha-product cotangent (exact exclusion products).
+                one = (prob >= 1.0)
+                excl = jnp.where(
+                    one, jnp.where(zcnt == 1.0, pnz, 0.0),
+                    jnp.where(zcnt == 0.0,
+                              pnz / jnp.where(one, 1.0, 1.0 - prob), 0.0))
+                g_prob = g_prob_z + g_prod * (-excl)
+            else:
+                g_prob = g_prob_z
             g_prob_raw = g_prob * maskf
 
             if cfg.rast_kind == "mc":
@@ -2286,25 +2335,36 @@ def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
             return (g_scal_acc + g_scal_z + g_scal_c + g_scal_r + g_scal_1)
 
         g_scal = _stream_chunk_iter(rows_ref, n_ref, body2, g_scal)
-        return g_scal
+        return loss_tile, g_scal
 
     def bg_only(_):
         g_scal = jnp.zeros((1, _NS), jnp.float32)
+        if loss_kind is None:
+            loss_tile, grgb = jnp.float32(0.0), g_rgb_ext
+        else:
+            bg_rows = [jnp.full((1, p), scal[0, _S_BG + c])
+                       for c in range(3)]
+            loss_tile, grgb = _loss_cotangent(loss_kind, bg_rows,
+                                              target_ref, pvf, lscale)
         for c in range(3):
             g_scal = g_scal + jnp.where(cols_ns == _S_BG + c,
-                                        jnp.sum(g_rgb[c]), 0.0)
-        return g_scal
+                                        jnp.sum(grgb[c]), 0.0)
+        return loss_tile, g_scal
 
-    g_scal_tile = jax.lax.cond(active_ref[0, 0, 0] > 0, pipeline, bg_only,
-                               None)
+    loss_tile, g_scal_tile = jax.lax.cond(active_ref[0, 0, 0] > 0, pipeline,
+                                          bg_only, None)
 
     @pl.when(tile == 0)
     def _init():
         g_scal_ref[:] = g_scal_tile
+        if loss_kind is not None:
+            loss_ref[:] = jnp.reshape(loss_tile, (1, 1))
 
     @pl.when(tile != 0)
     def _accum():
         g_scal_ref[:] = g_scal_ref[:] + g_scal_tile
+        if loss_kind is not None:
+            loss_ref[:] = loss_ref[:] + jnp.reshape(loss_tile, (1, 1))
 
 
 def _stream_specs(cfg: FusedConfig):
@@ -2403,6 +2463,76 @@ def _fcstream_bwd(cfg, res, g):
 _fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
 
 
+def _pallas_stream_loss_grad(cfg, loss_kind, tab, rows, n, active, scal,
+                             seeds, target_cm, lscale):
+    nt = _n_tiles(cfg)
+    df = _round_up(27 + cfg.tex_d + 1, 128)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_stream_loss_grad_kernel, cfg=cfg, loss_kind=loss_kind),
+        grid=(nt,),
+        in_specs=_stream_specs(cfg) + [
+            pl.BlockSpec((3, cfg.p_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),      # target tile
+            _const_spec((1, 1)),                        # loss scale
+            pl.BlockSpec(memory_space=pl.ANY),          # grad-table zeros
+        ],
+        out_specs=(
+            acc((1, 1)),                                # loss accumulator
+            pl.BlockSpec(memory_space=pl.ANY),          # grad table (HBM)
+            _const_spec((1, _NS)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.rw, df), jnp.float32),
+            jax.ShapeDtypeStruct((1, _NS), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
+            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={9: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=cfg.interpret,
+    )(_tile_ids(cfg), active, rows, n, seeds, tab, scal, target_cm, lscale,
+      jnp.zeros((cfg.rw, df), jnp.float32))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_stream_loss_core(cfg, loss_kind, tab, scal, rows, n, active,
+                            seeds, target_cm, lscale):
+    loss, *_ = _pallas_stream_loss_grad(cfg, loss_kind, tab, rows, n,
+                                        active, scal, seeds, target_cm,
+                                        lscale)
+    return loss[0, 0]
+
+
+def _fslc_fwd(cfg, loss_kind, tab, scal, rows, n, active, seeds, target_cm,
+              lscale):
+    loss, g_tab, g_scal = _pallas_stream_loss_grad(
+        cfg, loss_kind, tab, rows, n, active, scal, seeds, target_cm,
+        lscale)
+    return loss[0, 0], (g_tab, g_scal, rows, n, active, seeds, target_cm,
+                        lscale)
+
+
+def _fslc_bwd(cfg, loss_kind, res, g):
+    g_tab, g_scal, rows, n, active, seeds, target_cm, ls = res
+    return (g * g_tab, g * g_scal,
+            np.zeros(rows.shape, jax.dtypes.float0),
+            np.zeros(n.shape, jax.dtypes.float0),
+            np.zeros(active.shape, jax.dtypes.float0),
+            np.zeros(seeds.shape, jax.dtypes.float0),
+            jnp.zeros_like(target_cm), jnp.zeros_like(ls))
+
+
+_fused_stream_loss_core.defvjp(_fslc_fwd, _fslc_bwd)
+
+
 def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
     """Streaming-mode table + per-tile chunk lists.
 
@@ -2496,6 +2626,19 @@ def _stream_tables(cfg: FusedConfig, merged, fv_ndc, valid_col, blur):
 # Fused value-and-grad: loss + every gradient in ONE kernel pass
 # ---------------------------------------------------------------------------
 
+def _loss_cotangent(loss_kind, rgb_rows, target_ref, pvf, lscale):
+    """Image-loss partial + RGB cotangent for one tile (pixel-local, so the
+    kernel can derive it in place from the target tile)."""
+    d = [(rgb_rows[c] - target_ref[c:c + 1]) * pvf for c in range(3)]
+    if loss_kind == "l2_rgb":
+        loss = (sum(jnp.sum(x * x) for x in d)) * lscale
+        g = [2.0 * x * lscale for x in d]
+    else:                                  # l1_rgb
+        loss = (sum(jnp.sum(jnp.abs(x)) for x in d)) * lscale
+        g = [jnp.sign(x) * lscale for x in d]
+    return loss, g
+
+
 def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                       fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
                       target_ref, lscale_ref, loss_ref, g_ndc_ref,
@@ -2512,14 +2655,7 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
     pvf = pixvalid.astype(jnp.float32)
 
     def loss_and_cotangent(rgb_rows):
-        d = [(rgb_rows[c] - target_ref[c:c + 1]) * pvf for c in range(3)]
-        if loss_kind == "l2_rgb":
-            loss = (sum(jnp.sum(x * x) for x in d)) * lscale
-            g = [2.0 * x * lscale for x in d]
-        else:                                  # l1_rgb
-            loss = (sum(jnp.sum(jnp.abs(x)) for x in d)) * lscale
-            g = [jnp.sign(x) * lscale for x in d]
-        return loss, g
+        return _loss_cotangent(loss_kind, rgb_rows, target_ref, pvf, lscale)
 
     def full_pipeline(_):
         det1 = _make_det1(cfg, px, py, pixvalid, validb)
@@ -3154,9 +3290,9 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
         return None
     cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 settings, shade)
-    if cfg is None or cfg.prob_ext or cfg.stream:
-        # Sharded / streaming: render via the forward+backward kernels and
-        # reduce the image loss in XLA (the caller falls back to that).
+    if cfg is None or cfg.prob_ext:
+        # Sharded: render via the forward+backward kernels and reduce the
+        # image loss in XLA (the caller falls back to that).
         return None
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,
@@ -3170,6 +3306,16 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
     tcm = _to_tilemajor(cfg, tcm)        # scan-invariant: XLA hoists it
     tcm = jnp.pad(tcm, ((0, 0), (0, 0), (0, hwpad - hw)))
     lscale = jnp.full((n, 1, 1), 1.0 / (n * hw * 3), jnp.float32)
+    if cfg.stream:
+        # Streaming value-and-grad: the two backward chunk sweeps with the
+        # loss cotangent derived in place — no separate forward kernel.
+        # (ANY-space HBM table blocks cannot be vmapped over; see
+        # try_render.)
+        core = partial(_fused_stream_loss_core, cfg, loss_kind)
+        xs = tuple(inputs) + (tcm, lscale)
+        if n == 1:
+            return core(*(x[0] for x in xs))
+        return jnp.sum(jax.lax.map(lambda e: core(*e), xs))
     losses = jax.vmap(partial(_fused_loss_core, cfg, loss_kind))(
         *inputs, tcm, lscale)
     return jnp.sum(losses)

@@ -374,6 +374,50 @@ def test_render_loss_single_kernel_parity(noise, loss_kind):
         assert np.abs(x - y).max() / scale < 1e-4, (n, x, y)
 
 
+@pytest.mark.parametrize("noise,loss_kind", [
+    ("softras", "l2_rgb"), ("softras", "l1_rgb"), ("gaussian", "l2_rgb"),
+    ("hard", "l2_rgb"),
+])
+def test_render_loss_stream_kernel_parity(noise, loss_kind):
+    """Streaming-mode render_loss (the two-sweep loss+grad kernel deriving
+    the image-loss cotangent in place after the replay sweep) must match
+    value_and_grad through the separate stream forward+backward kernels.
+    Both sides replay identical position-keyed noise, so the match is
+    exact."""
+    # k < F routes to streaming mode (cube F=12 > k=4).
+    mesh, cameras, lights, renderer = _build(noise, k=4, s=4)
+    sh = renderer.shader
+    cfg = fr._plan(mesh, cameras, lights, sh.materials, sh.smoothrast,
+                   sh.smoothagg, renderer.rasterizer.raster_settings,
+                   "phong")
+    assert cfg is not None and cfg.stream
+    tgt = jnp.linspace(0.0, 1.0, 16 * 16 * 3).reshape(1, 16, 16, 3)
+
+    def step(log_rot, sigma, gamma, alpha, fused_loss):
+        rr = renderer.replace(shader=renderer.shader.update_smoothing(
+            sigma=sigma, gamma=gamma, alpha=alpha))
+        rot = so3_exp_map(log_rot)
+        pred = mesh.update_padded(Rotate(rot).transform_points(
+            mesh.verts_padded()))
+        if fused_loss:
+            return rr.render_loss(pred, tgt, key=KEY, loss_kind=loss_kind,
+                                  cameras=cameras, lights=lights)
+        img = rr(pred, key=KEY, cameras=cameras, lights=lights)
+        d = img[..., :3] - tgt
+        return (jnp.mean(jnp.abs(d)) if loss_kind == "l1_rgb"
+                else jnp.mean(d ** 2))
+
+    args = (jnp.array([[0.1, -0.2, 0.3]]), jnp.asarray(1e-2),
+            jnp.asarray(5e-1), jnp.asarray(1.0))
+    la, ga = jax.value_and_grad(step, argnums=(0, 1, 2, 3))(*args, False)
+    lb, gb = jax.value_and_grad(step, argnums=(0, 1, 2, 3))(*args, True)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for n, x, y in zip(["log_rot", "sigma", "gamma", "alpha"], ga, gb):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1e-10)
+        assert np.abs(x - y).max() / scale < 1e-4, (n, x, y)
+
+
 def test_render_loss_fallback_matches():
     """On ineligible configs render_loss reduces the rendered image exactly
     like the reference's manual loss."""

@@ -71,6 +71,7 @@ from pertrenderer_tpu.ops.perturbed import (
     perturbed_heaviside,
     prod_corrected,
 )
+from pertrenderer_tpu.ops.fused_render import RenderPlan, render_plan
 from pertrenderer_tpu.ops.gather import take_rows, take_rows_cm
 from pertrenderer_tpu.ops.interp_gather import interp_rows_cm
 from pertrenderer_tpu.ops.rasterize import (

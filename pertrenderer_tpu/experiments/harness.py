@@ -431,6 +431,30 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     scan_fn_cache: Dict[Tuple[int, int], Any] = {}
     peak_memory_mb = [None]  # max XLA-reported footprint across segments
 
+    # Capacity surveillance (VERDICT r3 #6): when the scene routes to the
+    # M-slot binned kernel, its overflow counts come back as REGULAR
+    # jittable prepass outputs, fetched and checked host-side at every
+    # segment boundary — real per-run detection on backends without host
+    # callbacks (the axon relay).
+    cap_probe = None
+    settings = diff_renderer.rasterizer.raster_settings
+    if getattr(settings, "bin_overflow", "warn") != "allow":
+        from pertrenderer_tpu.ops import fused_render as _fr
+
+        plan0 = diff_renderer.plan(mesh, cameras=cameras,
+                                   assume_available=False)
+        if plan0.mode == "binned":
+            _sh = diff_renderer.shader
+
+            @jax.jit
+            def cap_probe(log_rot, blur):
+                rot = so3_exp_map(log_rot)
+                pred = mesh.update_padded(
+                    Rotate(rot).transform_points(mesh.verts_padded()))
+                return _fr.capacity_stats(
+                    pred, cameras, settings, _sh.smoothrast, _sh.smoothagg,
+                    lights, _sh.materials, blur_override=blur)
+
     def run_segment(n_steps, carry, seg_keys):
         # Annealing changes the MC sample count (a trace-time constant:
         # the sample loops unroll over S) and blur_radius (a *traced*
@@ -475,6 +499,13 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
          ema) = carry
         losses.append(np.asarray(seg_losses))
         gnorms.append(np.asarray(seg_gnorms))
+        if cap_probe is not None:
+            from pertrenderer_tpu.ops import fused_render as _fr
+
+            stats = jax.device_get(cap_probe(
+                log_rot, jnp.asarray(renderer.rasterizer.blur,
+                                     jnp.float32)))
+            _fr.check_capacity_host(settings, stats)
         if collect_images:
             rot = so3_exp_map(log_rot)
             pred = mesh.update_padded(

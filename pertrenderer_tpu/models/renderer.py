@@ -144,6 +144,29 @@ class MeshRenderer:
             meshes, cameras, lights, materials, sr, sa, blend, settings,
             key, shade, blur_override=self.rasterizer.blur_override)
 
+    def plan(self, meshes, cameras=None, assume_available=True, **kwargs):
+        """Routing report: which execution mode (flat / stream / binned /
+        staged) this renderer takes for ``meshes``, and why.  Static
+        inspection only — nothing is compiled or run.  See
+        ``pertrenderer_tpu.render_plan``."""
+        from pertrenderer_tpu.ops import fused_render
+
+        cameras = cameras if cameras is not None else \
+            kwargs.get("cameras", self.rasterizer.cameras)
+        args = self._fused_args(cameras, kwargs)
+        if args is None:
+            return fused_render.RenderPlan(
+                mode="staged",
+                reason="shader %s (or camera resolution) is not "
+                       "fused-eligible" % type(self.shader).__name__,
+                f=int(meshes.max_faces),
+                k=int(self.rasterizer.raster_settings.faces_per_pixel),
+                image_size=self.rasterizer.raster_settings.image_size)
+        (cameras, lights, materials, sr, sa, _blend, settings), shade = args
+        return fused_render.render_plan(
+            meshes, cameras, lights, materials, sr, sa, settings, shade,
+            assume_available=assume_available)
+
     def render_loss(self, meshes, target, key=None, loss_kind="l2_rgb",
                     **kwargs):
         """Mean image loss vs ``target`` (N, H, W, 3) over the RGB channels:

@@ -71,7 +71,7 @@ from pertrenderer_tpu.ops.perturbed import log_corrected, prod_corrected
 from pertrenderer_tpu.ops.rasterize import _face_pixel_geometry
 
 __all__ = ["FusedConfig", "fused_available", "try_render",
-           "try_render_loss", "MAX_SLOTS"]
+           "try_render_loss", "MAX_SLOTS", "RenderPlan", "render_plan"]
 
 MAX_SLOTS = 256          # flat-mode face budget (F_pad <= MAX_SLOTS)
 MAX_BIN_SLOTS = 160      # binned-mode per-tile face budget (VMEM-bound:
@@ -1263,9 +1263,10 @@ def _check_bin_overflow(cfg: FusedConfig, settings, max_tile_count,
         import warnings
 
         warnings.warn(
-            "binned/stream capacity checks are disabled: this backend has "
-            "no host-callback support. Run the scene once on CPU "
-            "(interpret mode) to validate capacity, or set "
+            "in-trace binned capacity checks are disabled: this backend "
+            "has no host-callback support. The experiment harness checks "
+            "capacity_stats() at every scan-segment boundary instead "
+            "(callback-free); library users can do the same, or set "
             "bin_overflow='allow' to silence this.", stacklevel=2)
         return
 
@@ -1816,8 +1817,13 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 # backward's two replay passes regardless of which chunks a tile visits,
 # independent across pixels.
 
-_STREAM_CHUNK = 128       # faces per streamed chunk
-_STREAM_BUCKET_ROWS = 16  # y-bucket height (px) of the two-level sort key
+_STREAM_CHUNK = int(os.environ.get("PERTRENDERER_STREAM_CHUNK", "128"))
+# faces per streamed chunk.  Noise replay keys on ABSOLUTE sorted-table rows
+# (row_base = chunk id * chunk), so face streams are chunk-size-invariant
+# (the background row keys on rw = round_up(F, chunk), so cross-chunk-size
+# renders differ by the bg draw only; within a size, replay is exact).
+_STREAM_BUCKET_ROWS = int(os.environ.get("PERTRENDERER_STREAM_BUCKET", "16"))
+# y-bucket height (px) of the two-level sort key
 _BIG_LO = 1e30            # sort-key sentinel for invalid/padding rows
 
 
@@ -1901,6 +1907,40 @@ def _stream_chunk_iter(rows_ref, n_ref, body, carry):
     return jax.lax.fori_loop(0, n_ref[0, 0, 0], b, carry)
 
 
+def _stream_chunk_iter_db(rows_ref, n_ref, tab_hbm, scratch, sem, body,
+                          carry):
+    """Double-buffered chunk loop: chunk q+1's HBM->VMEM table DMA is
+    started before chunk q's compute, so transfer latency hides behind the
+    estimator loops.  ``scratch`` is (2, chunk, Df) VMEM, ``sem`` a (2,)
+    DMA-semaphore array; ``body`` receives (loop position, chunk id, table
+    block, carry).  Every started copy is waited exactly once, so the
+    buffers are clean for a following loop over the same list."""
+    ch = scratch.shape[1]
+    n = n_ref[0, 0, 0]
+
+    def dma(q, slot):
+        cid = rows_ref[0, 0, q]
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(cid * ch, ch), :], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(n > 0)
+    def _warm():
+        dma(0, 0).start()
+
+    def b(q, c):
+        slot = jax.lax.rem(q, 2)
+
+        @pl.when(q + 1 < n)
+        def _next():
+            dma(q + 1, 1 - slot).start()
+
+        dma(q, slot).wait()
+        return body(q, rows_ref[0, 0, q], scratch[slot], c)
+
+    return jax.lax.fori_loop(0, n, b, carry)
+
+
 def _stream_forward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                            seeds_ref, tab_hbm, scal_ref, out_ref,
                            scratch, sem, *, cfg):
@@ -1934,12 +1974,7 @@ def _stream_forward_kernel(tile_ref, active_ref, rows_ref, n_ref,
             winc = [jnp.concatenate([c] * s_agg, 0) for c in bgc]  # (S, P)
             st0 = (jnp.ones((1, p), jnp.float32), runmax, winc)
 
-        def body(cid, st):
-            cp = pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(cid * ch, ch), :], scratch, sem)
-            cp.start()
-            cp.wait()
-            blk = scratch[:]
+        def body(_q, cid, blk, st):
             dist, z, c0, c1, c2, maskf = _stream_chunk_det(
                 cfg, px, py, pixvalid, scal, blk)
             if cfg.rast_kind == "mc":
@@ -1993,7 +2028,8 @@ def _stream_forward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                 s_agg, s_body, (runmax, winc[0], winc[1], winc[2]))
             return (alpha, runmax, [wc0, wc1, wc2])
 
-        st = _stream_chunk_iter(rows_ref, n_ref, body, st0)
+        st = _stream_chunk_iter_db(rows_ref, n_ref, tab_hbm, scratch, sem,
+                                   body, st0)
         if cfg.agg_kind == "soft":
             alpha, _, den, num = st
             rgb = [n_ / den for n_ in num]
@@ -2009,17 +2045,18 @@ def _stream_forward_kernel(tile_ref, active_ref, rows_ref, n_ref,
 def _stream_backward_kernel(tile_ref, active_ref, rows_ref, n_ref,
                             seeds_ref, tab_hbm, scal_ref, g_out_ref,
                             gz_hbm, g_gtab_hbm, g_scal_ref,
-                            scratch, gscr, sem, sem2, *, cfg):
+                            scratch, gscr, sem, semr, semw, *, cfg):
     _stream_grad_impl(cfg, None, tile_ref, active_ref, rows_ref, n_ref,
                       seeds_ref, tab_hbm, scal_ref, g_out_ref, None, None,
-                      None, g_gtab_hbm, g_scal_ref, scratch, gscr, sem, sem2)
+                      None, g_gtab_hbm, g_scal_ref, scratch, gscr, sem,
+                      semr, semw)
 
 
 def _stream_loss_grad_kernel(tile_ref, active_ref, rows_ref, n_ref,
                              seeds_ref, tab_hbm, scal_ref, target_ref,
                              lscale_ref, gz_hbm, loss_ref, g_gtab_hbm,
-                             g_scal_ref, scratch, gscr, sem, sem2, *, cfg,
-                             loss_kind):
+                             g_scal_ref, scratch, gscr, sem, semr, semw, *,
+                             cfg, loss_kind):
     """Streaming value-and-grad: the backward's two chunk passes with the
     image-loss cotangent derived in place after the replay pass — a full
     loss+grad step costs TWO chunk sweeps instead of the three of
@@ -2029,13 +2066,13 @@ def _stream_loss_grad_kernel(tile_ref, active_ref, rows_ref, n_ref,
     _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
                       seeds_ref, tab_hbm, scal_ref, None, target_ref,
                       lscale_ref, loss_ref, g_gtab_hbm, g_scal_ref, scratch,
-                      gscr, sem, sem2)
+                      gscr, sem, semr, semw)
 
 
 def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
                       seeds_ref, tab_hbm, scal_ref, g_out_ref, target_ref,
                       lscale_ref, loss_ref, g_gtab_hbm, g_scal_ref,
-                      scratch, gscr, sem, sem2):
+                      scratch, gscr, sem, semr, semw):
     tile = tile_ref[0, 0, 0]
     pos, px, py, pixvalid = _tile_coords(cfg, tile)
     scal = scal_ref[:]
@@ -2060,12 +2097,17 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
     # The gradient table lives in HBM (aliased to a zeros input); chunks
     # accumulate by read-modify-write.  The TPU grid is sequential, so the
     # RMW is race-free across tiles.
-    def chunk_blk(cid):
-        cp = pltpu.make_async_copy(
-            tab_hbm.at[pl.ds(cid * ch, ch), :], scratch, sem)
-        cp.start()
-        cp.wait()
-        return scratch[:]
+    def grmw_read(q, slot):
+        cid = rows_ref[0, 0, q]
+        return pltpu.make_async_copy(
+            g_gtab_hbm.at[pl.ds(cid * ch, ch), :], gscr.at[slot],
+            semr.at[slot])
+
+    def grmw_write(q, slot):
+        cid = rows_ref[0, 0, q]
+        return pltpu.make_async_copy(
+            gscr.at[slot], g_gtab_hbm.at[pl.ds(cid * ch, ch), :],
+            semw.at[slot])
 
     def agg_noise(s, cid):
         return _draw_block(cfg.agg_noise, seeds_ref[0, 2], seeds_ref[0, 3],
@@ -2105,8 +2147,7 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
                    runmax, winid, winc, phi, rm0, w0c,
                    jnp.float32(0.0))                   # nreal
 
-        def body1(cid, st):
-            blk = chunk_blk(cid)
+        def body1(_q, cid, blk, st):
             dist, z, c0, c1, c2, maskf = _stream_chunk_det(
                 cfg, px, py, pixvalid, scal, blk)
             if cfg.rast_kind == "mc":
@@ -2181,7 +2222,8 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
             return (zcnt, pnz, runmax, winid, [wc0, wc1, wc2], phi, rm0,
                     w0c, nreal + ch)
 
-        st = _stream_chunk_iter(rows_ref, n_ref, body1, st0)
+        st = _stream_chunk_iter_db(rows_ref, n_ref, tab_hbm, scratch, sem,
+                                   body1, st0)
 
         # ---- post-B1: loss cotangent + per-sample cotangent scalars ------
         if loss_kind is None:
@@ -2234,9 +2276,19 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
             aux = None
 
         # ---- pass B2: per-chunk gradients --------------------------------
-        def body2(cid, carry):
+        # The gradient-table read-modify-write pipelines with the compute:
+        # chunk q's grad rows stream in while its cotangents are built, and
+        # the write-back overlaps chunk q+1 (chunk ids are distinct within
+        # a tile, so in-flight reads/writes never alias).
+        def body2(q, cid, blk, carry):
             g_scal_acc = carry
-            blk = chunk_blk(cid)
+            slot = jax.lax.rem(q, 2)
+
+            @pl.when(q >= 2)
+            def _drain():      # free this slot: chunk q-2's write-back
+                grmw_write(q - 2, slot).wait()
+
+            grmw_read(q, slot).start()
             (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
                 lambda a, b, d, e, f: _stream_chunk_det(
                     cfg, px, py, pixvalid, f,
@@ -2279,21 +2331,20 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
                 g_c = [(winid[0:1] == rows_f).astype(jnp.float32) * g
                        for g in g_rgb]
             else:
-                def sb(s, acc):
+                # One S-loop for both the score accumulation (z_map
+                # cotangent) and the winner-selection color cotangent.
+                def sb(s, carry):
+                    acc, gc = carry
                     n = agg_noise(s, cid)
-                    d_s = _row_at(dot, s)
-                    return acc + d_s * _score(n, cfg.agg_noise)
-                acc_z = _sample_loop(s_agg, sb,
-                                     jnp.zeros((ch, p), jnp.float32))
+                    acc = acc + _row_at(dot, s) * _score(n, cfg.agg_noise)
+                    sel = (_row_at(winid, s) == rows_f).astype(jnp.float32)
+                    return (acc, [a + sel * g for a, g in zip(gc, g_rgb)])
+                acc_z, g_c = _sample_loop(
+                    s_agg, sb, (jnp.zeros((ch, p), jnp.float32),
+                                [jnp.zeros((ch, p), jnp.float32)
+                                 for _ in range(3)]))
                 g_zmap = acc_z / (s_agg * gamma)
                 g_scal_c = jnp.zeros((1, _NS), jnp.float32)
-
-                def cb(s, acc):
-                    sel = (_row_at(winid, s) == rows_f).astype(jnp.float32)
-                    return [a + sel * g for a, g in zip(acc, g_rgb)]
-                g_c = _sample_loop(
-                    s_agg, cb, [jnp.zeros((ch, p), jnp.float32)
-                                for _ in range(3)])
                 g_c = [g / s_agg for g in g_c]
 
             g_prob_z, g_z, g_scal_z = vjp_z(g_zmap)
@@ -2322,19 +2373,25 @@ def _stream_grad_impl(cfg, loss_kind, tile_ref, active_ref, rows_ref, n_ref,
                  jnp.zeros_like(maskf)))
             gblk = jnp.concatenate(
                 [g_ndc, g_world, g_fn, g_tex,
-                 jnp.zeros((ch, gscr.shape[1] - df + 1), jnp.float32)],
+                 jnp.zeros((ch, gscr.shape[2] - df + 1), jnp.float32)],
                 axis=1)
-            rows = g_gtab_hbm.at[pl.ds(cid * ch, ch), :]
-            rd = pltpu.make_async_copy(rows, gscr, sem2)
-            rd.start()
-            rd.wait()
-            gscr[:] = gscr[:] + gblk
-            wr = pltpu.make_async_copy(gscr, rows, sem2)
-            wr.start()
-            wr.wait()
+            grmw_read(q, slot).wait()
+            gscr[slot] = gscr[slot] + gblk
+            grmw_write(q, slot).start()
             return (g_scal_acc + g_scal_z + g_scal_c + g_scal_r + g_scal_1)
 
-        g_scal = _stream_chunk_iter(rows_ref, n_ref, body2, g_scal)
+        g_scal = _stream_chunk_iter_db(rows_ref, n_ref, tab_hbm, scratch,
+                                       sem, body2, g_scal)
+        nq = n_ref[0, 0, 0]
+
+        @pl.when(nq >= 2)      # drain the trailing write-backs
+        def _drain_2():
+            grmw_write(nq - 2, jax.lax.rem(nq - 2, 2)).wait()
+
+        @pl.when(nq >= 1)
+        def _drain_1():
+            grmw_write(nq - 1, jax.lax.rem(nq - 1, 2)).wait()
+
         return loss_tile, g_scal
 
     def bg_only(_):
@@ -2395,8 +2452,8 @@ def _pallas_stream_forward(cfg, tab, rows, n, active, scal, seeds):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=cfg.interpret,
     )(_tile_ids(cfg), active, rows, n, seeds, tab, scal)
@@ -2422,10 +2479,11 @@ def _pallas_stream_backward(cfg, tab, rows, n, active, scal, seeds, g_out):
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
-            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _STREAM_CHUNK, df), jnp.float32),
+            pltpu.VMEM((2, _STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={8: 0},
         # The in-kernel vjp's residual live set scales with (chunk x tile)
@@ -2489,10 +2547,11 @@ def _pallas_stream_loss_grad(cfg, loss_kind, tab, rows, n, active, scal,
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
-            pltpu.VMEM((_STREAM_CHUNK, df), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _STREAM_CHUNK, df), jnp.float32),
+            pltpu.VMEM((2, _STREAM_CHUNK, df), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={9: 1},
         compiler_params=pltpu.CompilerParams(
@@ -2895,17 +2954,26 @@ _AGG_MAP = {
 
 
 def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
-          settings, shade: str) -> Optional[FusedConfig]:
+          settings, shade: str, why: Optional[list] = None,
+          assume_available: bool = False) -> Optional[FusedConfig]:
     from pertrenderer_tpu.lights import DirectionalLights, PointLights
     from pertrenderer_tpu.textures import (TexturesAtlas, TexturesUV,
                                            TexturesVertex)
 
-    if not fused_available():
+    def no(msg):
+        if why is not None:
+            why.append(msg)
         return None
+
+    if not fused_available() and not assume_available:
+        return no("fused kernels unavailable on this backend "
+                  "(PERTRENDERER_FUSED=%s, backend=%s)"
+                  % (_fused_mode(), jax.default_backend()))
     rast_entry = _RAST_MAP.get(type(smoothrast).__name__)
     agg_entry = _AGG_MAP.get(type(smoothagg).__name__)
     if rast_entry is None or agg_entry is None:
-        return None
+        return no("estimator pair (%s, %s) is not a fused menu member"
+                  % (type(smoothrast).__name__, type(smoothagg).__name__))
     # Sample-axis sharding (shard_map over the MC sample mesh axis): the
     # sharded fused path covers the flat-mode MC/MC combinations — exactly
     # the stochastic members of the experiment menu (eval.py:145-163).
@@ -2915,10 +2983,12 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     ax_a = getattr(smoothagg, "sample_axis", None)
     sample_axis = ax_r or ax_a
     if sample_axis is not None and ax_r != ax_a:
-        return None
+        return no("sample-axis sharding requires both estimators to shard "
+                  "the same mesh axis")
     if sample_axis is not None and (rast_entry[0] != "mc"
                                     or agg_entry[0] != "mc"):
-        return None
+        return no("sample-axis sharding covers the MC/MC estimator pairs "
+                  "only")
 
     f = int(meshes.max_faces)
     k = int(settings.faces_per_pixel)
@@ -2938,14 +3008,24 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     # with runtime overflow detection.
     if f > k or f_pad > MAX_SLOTS:
         if sample_axis is not None:
-            return None    # sharded fused path is flat-mode only
+            return no("sharded fused path is flat-mode only (F <= "
+                      "faces_per_pixel)")
         stream_env = os.environ.get("PERTRENDERER_STREAM", "on")
         # 'on' (default): stream mid-poly meshes, bin very large ones;
-        # 'force': stream ANY size (exact but slow at config-5 scale —
-        # measured 0.2 renders/s vs binned's ~7.5 at 82k faces / 512^2);
+        # 'force': stream ANY size (exact at any density; measured ~0.8
+        # renders/s vs approximate binned's ~7.5 at 82k faces / 512^2);
         # 'off': M-slot binned everywhere above flat capacity.
-        if ((f <= _COARSE_THRESHOLD or stream_env == "force")
-                and stream_env != "off"):
+        # Binned capacity gate: the M-slot budget is only guaranteed-ish in
+        # the sub-row x-binned regime (image > tile width); ineligible
+        # large-F scenes fall through to streaming, which is exact at any
+        # size (closes the staged-path routing cliff at 8192 < F, image <=
+        # 128).
+        m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
+                MAX_BIN_SLOTS)
+        bin_ok = (m >= 8 and _BIN_P_TILE < settings.image_size
+                  and settings.image_size % _BIN_P_TILE == 0)
+        if stream_env != "off" and (f <= _COARSE_THRESHOLD
+                                    or stream_env == "force" or not bin_ok):
             stream = True
             # The kernels DMA _STREAM_CHUNK-row blocks from the HBM-resident
             # sorted table, so window extent never touches VMEM — rw is just
@@ -2973,11 +3053,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             else:
                 p_tile = min(_BIN_P_TILE, _round_up(hw, 128))
                 stream_tile_w = 0
-        else:
-            m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
-                    MAX_BIN_SLOTS)
-            if m < 8:
-                return None
+        elif bin_ok:
             binned = True
             f_pad = _round_up(m, 8)
             f_real = f_pad   # bin-local slots: all rows live
@@ -2985,14 +3061,13 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
             # (~ slots x pixels) inside VMEM and maximizes x-binning +
             # skip resolution.
             p_tile = _BIN_P_TILE
-            # Capacity gate: the M-slot budget is only guaranteed-ish in
-            # the sub-row x-binned regime; elsewhere the staged XLA path
-            # keeps exact semantics.
-            if (p_tile >= settings.image_size
-                    or settings.image_size % p_tile != 0):
-                return None
+        else:
+            return no("PERTRENDERER_STREAM=off and binned mode ineligible "
+                      "(needs max_faces_per_bin >= 8 and image size a "
+                      "multiple of %d above %d)"
+                      % (_BIN_P_TILE, _BIN_P_TILE))
     if settings.image_size > 2048:
-        return None
+        return no("image size above the 2048 fused-kernel limit")
     if not binned and not stream and not p_tile:
         # Flat-mode default: 2048 pixels per grid step halves the per-step
         # overhead vs 1024 and still fits the loss kernel's scoped VMEM for
@@ -3015,30 +3090,30 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
 
     tex = meshes.textures
     if tex is None:
-        return None   # the XLA path raises; keep behavior identical
+        return no("mesh has no textures")  # the XLA path raises too
     if isinstance(tex, TexturesVertex):
         if tex.verts_features.shape[-1] != 3:
-            return None
+            return no("TexturesVertex features must be RGB (3 channels)")
         tex_mode, tex_d, atlas_r = "corner", 9, 0
     elif isinstance(tex, TexturesAtlas):
         r = tex.atlas.shape[2]
         if tex.atlas.shape[-1] != 3 or r > 8:
-            return None
+            return no("TexturesAtlas must be RGB with resolution <= 8")
         tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
     elif isinstance(tex, TexturesUV):
         r = tex.atlas_size
         if not r or r > 8 or tex.maps.shape[-1] != 3:
-            return None
+            return no("TexturesUV needs atlas_size in 1..8 and RGB maps")
         tex_mode, tex_d, atlas_r = "atlas", r * r * 3, r
     else:
-        return None
+        return no("unsupported texture type %s" % type(tex).__name__)
 
     if isinstance(lights, PointLights):
         light_kind = "point"
     elif isinstance(lights, DirectionalLights):
         light_kind = "directional"
     else:
-        return None
+        return no("unsupported light type %s" % type(lights).__name__)
 
     rast_kind, rast_noise, rast_vr = rast_entry
     agg_kind, agg_noise, agg_vr = agg_entry
@@ -3066,6 +3141,77 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         rw=rw,
         tile_w=tile_w,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderPlan:
+    """Static routing report for a (mesh, settings, estimators) tuple: which
+    execution mode the renderer will take and why — makes the fused-kernel
+    routing auditable without running a step.
+
+    ``mode``:
+      * ``flat``   — slots-are-faces fused kernel (F <= faces_per_pixel);
+        exact.
+      * ``stream`` — y-sorted chunk-streaming fused kernel; exact at any
+        coverage density (no slot caps, reference-equal to the untruncated
+        semantics of `/root/reference/experiments/eval.py:135-141`).
+      * ``binned`` — per-tile M-slot fused kernel (the `max_faces_per_bin`
+        regime); exact only while no tile overflows M (runtime-detected,
+        see ``RasterizationSettings.bin_overflow``).
+      * ``staged`` — the XLA-composed reference pipeline (also the
+        fallback whenever fused kernels are unavailable); ``reason`` says
+        why.
+    """
+
+    mode: str
+    reason: str
+    f: int
+    k: int
+    image_size: int
+    p_tile: int = 0
+    tile: tuple = ()
+    slots: int = 0        # flat/binned live slot rows
+    table_rows: int = 0   # streaming sorted-table rows (chunk multiple)
+
+
+def render_plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+                settings, shade: str = "phong",
+                assume_available: bool = True) -> RenderPlan:
+    """Inspect the execution route ``try_render`` would take.
+
+    ``assume_available=True`` (default) reports the routing on a
+    fused-capable backend (TPU / interpret) even when called from a CPU
+    process — the common audit case; pass False to report this process's
+    actual route.
+    """
+    why: list = []
+    cfg = _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
+                settings, shade, why=why, assume_available=assume_available)
+    f = int(meshes.max_faces)
+    k = int(settings.faces_per_pixel)
+    if cfg is None:
+        return RenderPlan(mode="staged", reason=why[-1] if why else "",
+                          f=f, k=k, image_size=settings.image_size)
+    tile = ((cfg.p_tile // cfg.tile_w, cfg.tile_w) if cfg.tile_w
+            else (1, cfg.p_tile))
+    if cfg.stream:
+        return RenderPlan(
+            mode="stream", f=f, k=k, image_size=cfg.image_size,
+            p_tile=cfg.p_tile, tile=tile, table_rows=cfg.rw,
+            reason="F > faces_per_pixel; chunk-streamed y-sorted windows "
+                   "(exact at any coverage density)")
+    if cfg.binned:
+        return RenderPlan(
+            mode="binned", f=f, k=k, image_size=cfg.image_size,
+            p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad,
+            reason="F > %d (coarse threshold); per-tile nearest-%d slots "
+                   "(max_faces_per_bin regime, overflow-detected)"
+                   % (_COARSE_THRESHOLD, cfg.f_pad))
+    return RenderPlan(
+        mode="flat", f=f, k=k, image_size=cfg.image_size,
+        p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad,
+        reason="every face holds a slot (F <= faces_per_pixel); exact, no "
+               "selection")
 
 
 def _gather_rows(table, faces):
@@ -3236,6 +3382,126 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
     scal = _pack_scal(cfg, n, cameras, lights, materials, smoothrast,
                       smoothagg, blend_params, blur)
     return fv_ndc, fv_world, fn_world, tex_tab, valid, scal, seeds
+
+
+def capacity_stats(meshes, cameras, settings, smoothrast=None,
+                   smoothagg=None, lights=None, materials=None,
+                   shade: str = "phong", blur_override=None, cfg=None):
+    """Binned-mode capacity diagnostics as REGULAR jittable outputs — no
+    host callbacks, so they work on backends (like the axon dev relay)
+    where ``jax.debug.callback`` cannot run and the in-trace check of
+    ``_check_bin_overflow`` degrades to a blanket warning.
+
+    Returns None unless the scene routes to the M-slot binned kernel
+    (flat and streaming modes have no capacity limits).  Otherwise a dict
+    of scalars for the CURRENT pose:
+
+    * ``max_tile_candidates`` — worst per-tile candidate-face count
+      (approximation begins when it exceeds ``slots``);
+    * ``slots`` — the per-tile slot budget M (static int);
+    * ``max_range`` — worst y-sorted group window (f > coarse threshold
+      only; exactness of the window clamp needs it <= ``range_limit``);
+    * ``range_limit`` — the contiguous-window clamp (static int).
+
+    Fetch these at natural host boundaries (the experiment harness does at
+    every scan-segment boundary) and surface warnings/errors per
+    ``settings.bin_overflow``.  Reference-semantics anchor: the
+    `max_faces_per_bin` overflow of
+    `/root/reference/experiments/eval.py:135-141`.
+    """
+    if cfg is None:
+        from pertrenderer_tpu.lights import Materials, PointLights
+
+        lights = lights if lights is not None else PointLights.create()
+        materials = materials if materials is not None else \
+            Materials.create()
+        cfg = _plan(meshes, cameras, lights, materials, smoothrast,
+                    smoothagg, settings, shade, assume_available=True)
+    if cfg is None or not cfg.binned:
+        return None
+    blur = jnp.asarray(settings.blur_radius if blur_override is None
+                       else blur_override, jnp.float32)
+    f = meshes.max_faces
+    verts_ndc = cameras.transform_points_ndc(meshes.verts)
+    faces = jnp.maximum(meshes.faces, 0)
+    fv_ndc = jax.vmap(_gather_rows)(verts_ndc, faces)
+    face_ids = jnp.arange(f, dtype=jnp.int32)
+    validf = ((face_ids[None, :] < meshes.num_faces[:, None])
+              & jnp.all(meshes.faces >= 0, axis=-1))
+    if settings.cull_backfaces:
+        area = ((fv_ndc[..., 3] - fv_ndc[..., 0])
+                * (fv_ndc[..., 7] - fv_ndc[..., 1])
+                - (fv_ndc[..., 4] - fv_ndc[..., 1])
+                * (fv_ndc[..., 6] - fv_ndc[..., 0]))
+        validf = validf & (area > 0)
+    validf_f = validf.astype(jnp.float32)
+
+    def one(fv, vcol):
+        validb = _face_validb(fv, vcol)
+        overlap = _tile_face_overlap(cfg, fv, validb, blur)
+        counts = jnp.sum(overlap.astype(jnp.int32), axis=1)
+        if f <= _COARSE_THRESHOLD:
+            return jnp.max(counts), jnp.int32(0)
+        # y-sorted group-window bound (mirrors _binned_tables_sorted).
+        band = jnp.sqrt(jnp.maximum(blur, 0.0))
+        fv_s = jax.lax.stop_gradient(fv)
+        ys = fv_s[:, 1::3]
+        lo = jnp.min(ys, axis=1) - band
+        hi = jnp.max(ys, axis=1) + band
+        sk = jnp.sort(jnp.where(validb, lo, np.inf))
+        maxext = jnp.max(jnp.where(validb, hi - lo, 0.0))
+        nt, g = _n_tiles(cfg), _RANGE_GROUP
+        ng = -(-nt // g)
+        y_hi_t, y_lo_t = _tile_y_ranges(cfg)
+        pad_t = ng * g - nt
+        y_hi_g = jnp.max(jnp.pad(y_hi_t, (0, pad_t),
+                                 constant_values=-np.inf).reshape(ng, g),
+                         axis=1)
+        y_lo_g = jnp.min(jnp.pad(y_lo_t, (0, pad_t),
+                                 constant_values=np.inf).reshape(ng, g),
+                         axis=1)
+        e_g = jnp.searchsorted(sk, y_hi_g, side="right")
+        s_g = jnp.searchsorted(sk, y_lo_g - maxext, side="left")
+        return jnp.max(counts), jnp.max(jnp.maximum(e_g - s_g, 0))
+
+    mt, mr = jax.vmap(one)(fv_ndc, validf_f)
+    return {
+        "max_tile_candidates": jnp.max(mt),
+        "slots": cfg.f_pad,
+        "max_range": jnp.max(mr),
+        "range_limit": _RANGE_MAX,
+    }
+
+
+def check_capacity_host(settings, stats) -> Optional[str]:
+    """Host-side companion of :func:`capacity_stats`: ``stats`` with the
+    scalars already fetched.  Applies the ``settings.bin_overflow`` policy
+    ('warn' default / 'error' / 'allow'); returns the message when capacity
+    was exceeded (after warning/raising), else None."""
+    if stats is None or getattr(settings, "bin_overflow", "warn") == "allow":
+        return None
+    msgs = []
+    if int(stats["max_tile_candidates"]) > int(stats["slots"]):
+        msgs.append("a tile has %d candidate faces > %d bin slots "
+                    "(farthest faces dropped)"
+                    % (int(stats["max_tile_candidates"]),
+                       int(stats["slots"])))
+    if int(stats["max_range"]) > int(stats["range_limit"]):
+        msgs.append("a y-sorted group range holds %d faces > %d "
+                    "(range clamped)"
+                    % (int(stats["max_range"]), int(stats["range_limit"])))
+    if not msgs:
+        return None
+    msg = ("binned fused render capacity exceeded: " + "; ".join(msgs)
+           + ". Results deviate from the exact top-K semantics; use "
+           "streaming mode (the default for large meshes), raise "
+           "max_faces_per_bin, or set bin_overflow='allow' to accept.")
+    if getattr(settings, "bin_overflow", "warn") == "error":
+        raise RuntimeError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=2)
+    return msg
 
 
 def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,

@@ -2521,6 +2521,56 @@ def _fcstream_bwd(cfg, res, g):
 _fused_core_stream.defvjp(_fcstream_fwd, _fcstream_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_core_stream_sharded(cfg, axis, tab, scal, rows, n, active,
+                               seeds):
+    """Streaming render under MC sample-axis sharding.
+
+    The streaming kernels never materialize the per-(face, pixel) coverage
+    field, so the flat path's pmean-before-z_map decomposition cannot
+    apply.  Instead the RAST samples replicate (identical seeds on every
+    device — _prepare_inputs skips their offset) and only the AGG samples
+    shard.  Every remaining sharded quantity is a per-sample mean that the
+    unmodified kernels already compute locally, and every consumer is
+    LINEAR in it:
+
+    * forward RGB = mean over agg samples of winner colors -> pmean exact;
+      alpha is deterministic in prob (identical on all devices);
+    * backward: g_zmap, the winner-selection color cotangents, the gamma
+      term, and the background-weight terms are local agg-sample means
+      feeding linear VJPs (vjp_z, vjp1), while the alpha-product and rast
+      tracks are device-identical -> pmean of the final table/scalar
+      gradients is exact.
+
+    Folded equivalent: a single-device run with the SAME S_rast and
+    S_agg * n_devices aggregation samples (pinned by
+    tests/test_sharding.py).
+    """
+    out, _ = _fcss_fwd(cfg, axis, tab, scal, rows, n, active, seeds)
+    return out
+
+
+def _fcss_fwd(cfg, axis, tab, scal, rows, n, active, seeds):
+    out = jax.lax.pmean(
+        _pallas_stream_forward(cfg, tab, rows, n, active, scal, seeds),
+        axis)
+    return out, (tab, scal, rows, n, active, seeds)
+
+
+def _fcss_bwd(cfg, axis, res, g):
+    tab, scal, rows, n, active, seeds = res
+    g_tab, g_scal = _pallas_stream_backward(cfg, tab, rows, n, active,
+                                            scal, seeds, g)
+    return (jax.lax.pmean(g_tab, axis), jax.lax.pmean(g_scal, axis),
+            np.zeros(rows.shape, jax.dtypes.float0),
+            np.zeros(n.shape, jax.dtypes.float0),
+            np.zeros(active.shape, jax.dtypes.float0),
+            np.zeros(seeds.shape, jax.dtypes.float0))
+
+
+_fused_core_stream_sharded.defvjp(_fcss_fwd, _fcss_bwd)
+
+
 def _pallas_stream_loss_grad(cfg, loss_kind, tab, rows, n, active, scal,
                              seeds, target_cm, lscale):
     nt = _n_tiles(cfg)
@@ -2982,13 +3032,13 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     ax_r = getattr(smoothrast, "sample_axis", None)
     ax_a = getattr(smoothagg, "sample_axis", None)
     sample_axis = ax_r or ax_a
-    if sample_axis is not None and ax_r != ax_a:
+    if (sample_axis is not None and ax_r is not None and ax_a is not None
+            and ax_r != ax_a):
         return no("sample-axis sharding requires both estimators to shard "
                   "the same mesh axis")
-    if sample_axis is not None and (rast_entry[0] != "mc"
-                                    or agg_entry[0] != "mc"):
-        return no("sample-axis sharding covers the MC/MC estimator pairs "
-                  "only")
+    if sample_axis is not None and agg_entry[0] != "mc":
+        return no("sample-axis sharding requires an MC aggregation "
+                  "estimator")
 
     f = int(meshes.max_faces)
     k = int(settings.faces_per_pixel)
@@ -3007,9 +3057,6 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     # the `max_faces_per_bin` regime of the reference's binned kernel,
     # with runtime overflow detection.
     if f > k or f_pad > MAX_SLOTS:
-        if sample_axis is not None:
-            return no("sharded fused path is flat-mode only (F <= "
-                      "faces_per_pixel)")
         stream_env = os.environ.get("PERTRENDERER_STREAM", "on")
         # 'on' (default): stream mid-poly meshes, bin very large ones;
         # 'force': stream ANY size (exact at any density; measured ~0.8
@@ -3024,8 +3071,12 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 MAX_BIN_SLOTS)
         bin_ok = (m >= 8 and _BIN_P_TILE < settings.image_size
                   and settings.image_size % _BIN_P_TILE == 0)
-        if stream_env != "off" and (f <= _COARSE_THRESHOLD
-                                    or stream_env == "force" or not bin_ok):
+        want_stream = stream_env != "off" and (
+            f <= _COARSE_THRESHOLD or stream_env == "force" or not bin_ok)
+        if sample_axis is not None and not want_stream:
+            return no("sharded fused path covers the flat and streaming "
+                      "modes (binned is not sharded)")
+        if want_stream:
             stream = True
             # The kernels DMA _STREAM_CHUNK-row blocks from the HBM-resident
             # sorted table, so window extent never touches VMEM — rw is just
@@ -3068,6 +3119,18 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                       % (_BIN_P_TILE, _BIN_P_TILE))
     if settings.image_size > 2048:
         return no("image size above the 2048 fused-kernel limit")
+    if sample_axis is not None and not stream:
+        # Flat-mode sharding decomposes BOTH estimators' sample means
+        # (pmean'd prob before the nonlinear z_map); streaming shards the
+        # aggregation samples and replicates the coverage samples (its
+        # per-(face, pixel) prob field never materializes, so it cannot be
+        # pmean'd — see _fused_core_stream_sharded).
+        if ax_r != ax_a:
+            return no("flat-mode sharding requires both estimators to "
+                      "shard the same mesh axis")
+        if rast_entry[0] != "mc":
+            return no("flat-mode sharding covers the MC/MC estimator "
+                      "pairs only")
     if not binned and not stream and not p_tile:
         # Flat-mode default: 2048 pixels per grid step halves the per-step
         # overhead vs 1024 and still fits the loss kernel's scoped VMEM for
@@ -3287,9 +3350,13 @@ def _prepare_inputs(cfg, meshes, cameras, lights, materials, smoothrast,
         # enters the sample index as ``seed0 + s * C`` (_hash_words), so an
         # offset of d*S folds into seed0 exactly — the union of device
         # streams is bit-equal to a single-device run with S_total samples.
+        # Streaming mode shards the AGG samples only: the rast seeds stay
+        # unoffset, so every device draws the identical coverage streams
+        # (prob replicates; the folded equivalent keeps the same S_rast).
         c_mul = jnp.int32(-1640531527)
         off = jax.lax.axis_index(sample_axis).astype(jnp.int32)
-        sr = sr.at[:, 0].add(off * jnp.int32(cfg.s_rast) * c_mul)
+        if not cfg.stream:
+            sr = sr.at[:, 0].add(off * jnp.int32(cfg.s_rast) * c_mul)
         sa = sa.at[:, 0].add(off * jnp.int32(cfg.s_agg) * c_mul)
     seeds = jnp.concatenate(
         [sr, sa, jnp.zeros((n, 4), jnp.int32)], axis=1)[:, None, :]
@@ -3519,18 +3586,19 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
                              smoothrast, smoothagg, blend_params, settings,
                              key, shade, sample_axis=sample_axis,
                              blur_override=blur_override)
-    if cfg.prob_ext:
-        out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
-            *inputs)
-    elif cfg.stream:
+    if cfg.stream:
         # ANY-space (HBM) table blocks cannot be vmapped over; the batch
         # runs as a sequential lax.map (stream meshes are heavy enough that
         # per-element kernel launches dominate anyway).
-        core = partial(_fused_core_stream, cfg)
+        core = (partial(_fused_core_stream_sharded, cfg, sample_axis)
+                if cfg.prob_ext else partial(_fused_core_stream, cfg))
         if meshes.batch_size == 1:
             out = core(*(x[0] for x in inputs))[None]
         else:
             out = jax.lax.map(lambda xs: core(*xs), tuple(inputs))
+    elif cfg.prob_ext:
+        out = jax.vmap(partial(_fused_core_sharded, cfg, sample_axis))(
+            *inputs)
     else:
         out = jax.vmap(partial(_fused_core, cfg))(*inputs)
     n = meshes.batch_size

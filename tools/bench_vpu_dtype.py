@@ -32,7 +32,9 @@ def make_kernel(dtype):
             acc = acc * y + x
         o_ref[:] = acc
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def run(x, y, n):
         def body(c, _):
             out = pl.pallas_call(

@@ -318,7 +318,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                   adapt_reg=False, adapt_params=(1.1, 1.5),
                   segment_size=50, collect_images=False, imsize=None,
                   artifacts_dir=None, checkpoint_dir=None, resume=False,
-                  max_segments=None):
+                  max_segments=None, anneal_sample_cap=128):
     """Pose optimization with the reference's schedule
     (`/root/reference/experiments/eval.py:320-409`), restructured as jitted
     ``lax.scan`` segments.
@@ -526,7 +526,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                     _BLUR_CONST * new_sigma),
                 shader=renderer.shader.update_smoothing(
                     sigma=new_sigma, gamma=new_gamma)
-                .update_nb_samples(min(2 * nb, 128)),
+                .update_nb_samples(min(2 * nb, anneal_sample_cap)),
             )
             lr = max(lr / 1.5, 1e-4)
             opt_state = init_opt_state(lr)

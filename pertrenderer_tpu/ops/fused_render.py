@@ -145,6 +145,13 @@ class FusedConfig:
                                # instead of a row strip (0 = strips).  The
                                # kernels' HBM pixel axis is then tile-major;
                                # the public entries permute at the boundary.
+    pack_m: int = 0            # per-tile face packing (flat mode): tiles
+                               # whose conservative bbox-band overlap count
+                               # fits in pack_m - 1 face slots (+ background)
+                               # run the whole pipeline on pack_m rows
+                               # instead of f_pad — exact, because the
+                               # excluded faces are out-of-band for every
+                               # pixel of the tile.  0 = off.
 
     @property
     def bg_row(self) -> int:
@@ -671,7 +678,9 @@ def _mc_agg_forward_stash(cfg, zmap_full, gamma, s0, s1, pos, noise_ref):
 
     def body(s, acc):
         n = _draw_block(cfg.agg_noise, s0, s1, s, c, p, pos)
-        noise_ref[pl.ds(s, 1)] = n[None]
+        # Row-sliced store: the packed branch stashes its pack_m-row draws
+        # into the full-size scratch slot (c <= scratch rows).
+        noise_ref[pl.ds(s, 1), pl.ds(0, c)] = n[None]
         return acc + _onehot_ge(zmap_full + gamma * n)
 
     acc = _sample_loop(cfg.s_agg, body, jnp.zeros_like(zmap_full),
@@ -689,7 +698,7 @@ def _mc_agg_grads_stashed(cfg, zmap_full, g_w, gamma, noise_ref):
 
     def body(s, carry):
         acc_z, acc_g = carry
-        n = noise_ref[pl.ds(s, 1)][0] * cmask
+        n = noise_ref[pl.ds(s, 1), pl.ds(0, shape[0])][0] * cmask
         w = _onehot_ge(zmap_full + gamma * n)
         diff = (w - w0) * cmask
         dot = jnp.sum(g_w * diff, axis=0, keepdims=True)
@@ -745,9 +754,54 @@ def _bg_weights(cfg):
     return (rows == cfg.bg_row).astype(jnp.float32)
 
 
+def _validb_tables(fv_ndc, valid_col):
+    """Per-slot validity from a (rows, ...) table pair: declared validity
+    plus the behind-camera cull (ops/rasterize.py:_face_validity)."""
+    validb = valid_col > 0.5
+    zmaxf = jnp.maximum(jnp.maximum(_col(fv_ndc, 2), _col(fv_ndc, 5)),
+                        _col(fv_ndc, 8))
+    return validb & (zmaxf > 0)
+
+
+def _cfg_packed(cfg: FusedConfig) -> FusedConfig:
+    """The packed branch's effective config: pack_m slot rows, background
+    in the last row (f_real = pack_m - 1 -> bg_row = pack_m - 1,
+    c_zpad = pack_m)."""
+    return dataclasses.replace(cfg, f_pad=cfg.pack_m, f_real=cfg.pack_m - 1,
+                               pack_m=0)
+
+
+def _pack_onehots(cfg: FusedConfig, pack_ref):
+    """Both one-hot operators of the tile's packed face-row selection:
+    (pack_m, f_pad) for gathering tables, (f_pad, pack_m) for scattering
+    gradients back.  Filler slots carry the out-of-range id f_pad, so
+    their one-hot rows/columns are identically zero (packed rows read as
+    zero tables -> invalid -> exact no-ops; scatter deposits nothing)."""
+    m, f = cfg.pack_m, cfg.f_pad
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (f, 1), 0)
+    rows, cols = [], []
+    for j in range(m):
+        idj = pack_ref[0, j, 0]
+        rows.append((iota_row == idj).astype(jnp.float32))
+        cols.append((iota_col == idj).astype(jnp.float32))
+    return jnp.concatenate(rows, axis=0), jnp.concatenate(cols, axis=1)
+
+
+def _pack_tables(onehot, tabs):
+    """Gather the packed rows of each (f_pad, D) table as an exact one-hot
+    matmul (HIGHEST precision keeps the MXU pass from rounding the gathered
+    values — measured ~4e-3 relative under the default bf16 pass)."""
+    return [jax.lax.dot(onehot, t, precision=jax.lax.Precision.HIGHEST)
+            for t in tabs]
+
+
 def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                     fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
                     *rest, cfg):
+    pack_ref = None
+    if cfg.pack_m:                       # never with prob_ext (plan gates)
+        pack_ref, rest = rest[0], rest[1:]
     if cfg.prob_ext:
         prob_ref, out_ref, weights_ref = rest
     else:
@@ -758,38 +812,58 @@ def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
 
     rd = _rd(cfg)
 
-    def full_pipeline(_):
-        det1 = _make_det1(cfg, px, py, pixvalid, validb)
-        dist, z, c0, c1, c2, maskf = det1(
-            rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref), scal)
+    def run_pipeline(cfgx, fv_ndc_t, fv_world_t, fn_t, tex_t, validbx):
+        det1 = _make_det1(cfgx, px, py, pixvalid, validbx)
+        dist, z, c0, c1, c2, maskf = det1(fv_ndc_t, fv_world_t, fn_t,
+                                          tex_t, scal)
 
-        if cfg.prob_ext:
+        if cfgx.prob_ext:
             prob = prob_ref[:]          # pmean'd across the sample axis
         else:
-            if cfg.rast_kind == "mc":
-                prob_raw = _mc_rast_forward(cfg, -dist, scal[0, _S_SIGMA],
-                                            seeds_ref[0, 0], seeds_ref[0, 1],
-                                            pos)
+            if cfgx.rast_kind == "mc":
+                prob_raw = _mc_rast_forward(cfgx, -dist, scal[0, _S_SIGMA],
+                                            seeds_ref[0, 0],
+                                            seeds_ref[0, 1], pos)
             else:
-                prob_raw = _make_det_rast(cfg)(dist, scal)
+                prob_raw = _make_det_rast(cfgx)(dist, scal)
             prob = prob_raw * maskf
 
-        zmap_full = _make_det2(cfg, maskf)(prob, z, scal)
-        if cfg.agg_kind == "soft":
+        zmap_full = _make_det2(cfgx, maskf)(prob, z, scal)
+        if cfgx.agg_kind == "soft":
             weights = _det2b_soft(zmap_full, scal)
-        elif cfg.agg_kind == "hard":
+        elif cfgx.agg_kind == "hard":
             weights = _hard_onehot_rows(zmap_full)
         else:
-            weights = _mc_agg_forward(cfg, zmap_full, scal[0, _S_GAMMA],
+            weights = _mc_agg_forward(cfgx, zmap_full, scal[0, _S_GAMMA],
                                       seeds_ref[0, 2], seeds_ref[0, 3], pos)
-        out = _make_det3(cfg)(weights, prob, c0, c1, c2, scal)
-        return (out, weights) if cfg.prob_ext else out
+        out = _make_det3(cfgx)(weights, prob, c0, c1, c2, scal)
+        return (out, weights) if cfgx.prob_ext else out
+
+    def full_pipeline(_):
+        return run_pipeline(cfg, rd(fv_ndc_ref), rd(fv_world_ref),
+                            rd(fn_ref), rd(tex_ref), validb)
+
+    def packed_pipeline(_):
+        ohg, _ = _pack_onehots(cfg, pack_ref)
+        fvp, fwp, fnp, txp, vlp = _pack_tables(
+            ohg, [fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+                  valid_ref[:]])
+        return run_pipeline(_cfg_packed(cfg), fvp, fwp, fnp, txp,
+                            _validb_tables(fvp, vlp))
 
     def bg_only(_):
         bg = _bg_image(cfg, scal)
         return (bg, _bg_weights(cfg)) if cfg.prob_ext else bg
 
-    res = jax.lax.cond(active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+    act = active_ref[0, 0, 0]
+    if cfg.pack_m:
+        res = jax.lax.cond(
+            act > 0,
+            lambda _: jax.lax.cond(act == 2, packed_pipeline,
+                                   full_pipeline, None),
+            bg_only, None)
+    else:
+        res = jax.lax.cond(act > 0, full_pipeline, bg_only, None)
     if cfg.prob_ext:
         out_ref[:], weights_ref[:] = res
     else:
@@ -798,8 +872,11 @@ def _forward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
 
 def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                      fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
-                     g_out_ref, g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref,
-                     g_scal_ref, *, cfg):
+                     g_out_ref, *rest, cfg):
+    pack_ref = None
+    if cfg.pack_m:
+        pack_ref, rest = rest[0], rest[1:]
+    g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref = rest
     pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
@@ -807,24 +884,23 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
 
     rd = _rd(cfg)
 
-    def full_pipeline(_):
-        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+    def run_pipeline(cfgx, fv_ndc_t, fv_world_t, fn_t, tex_t, validbx):
+        det1 = _make_det1(cfgx, px, py, pixvalid, validbx)
         (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
-            det1, rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref),
-            scal)
+            det1, fv_ndc_t, fv_world_t, fn_t, tex_t, scal)
 
         sigma = scal[0, _S_SIGMA]
         gamma = scal[0, _S_GAMMA]
         # Coverage forward + score coefficient share one replay loop.
-        if cfg.rast_kind == "mc":
+        if cfgx.rast_kind == "mc":
             prob_raw, coeff = _mc_rast_fwd_coeff(
-                cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
+                cfgx, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
             vjp_rast = None
         else:
-            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfgx), dist, scal)
         prob = prob_raw * maskf
 
-        zmap_full, vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
+        zmap_full, vjp2 = jax.vjp(_make_det2(cfgx, maskf), prob, z, scal)
 
         # Aggregation: weights + backward.  The blend is linear in the
         # weights, so the weight cotangent is available before the weights:
@@ -832,26 +908,26 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         # — letting the MC path fuse its forward and backward into one loop.
         g_rgb = [g_rgba[c:c + 1] for c in range(3)]
         g_scal_extra = jnp.zeros((1, _NS), jnp.float32)
-        if cfg.agg_kind == "soft":
+        if cfgx.agg_kind == "soft":
             weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
-        elif cfg.agg_kind == "hard":
+        elif cfgx.agg_kind == "hard":
             weights, vjp2b = _hard_onehot_rows(zmap_full), None
         else:
-            g_w = _build_g_w(cfg, c0, c1, c2, g_rgb, scal)
+            g_w = _build_g_w(cfgx, c0, c1, c2, g_rgb, scal)
             weights, g_zmap, gamma_term = _mc_agg_fwd_grads(
-                cfg, zmap_full, g_w, gamma, seeds_ref[0, 2],
+                cfgx, zmap_full, g_w, gamma, seeds_ref[0, 2],
                 seeds_ref[0, 3], pos)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
             g_scal_extra = g_scal_extra + jnp.where(
                 cols == _S_GAMMA, jnp.sum(gamma_term), 0.0)
 
-        _, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2, scal)
+        _, vjp3 = jax.vjp(_make_det3(cfgx), weights, prob, c0, c1, c2, scal)
         g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
 
-        if cfg.agg_kind == "soft":
+        if cfgx.agg_kind == "soft":
             g_zmap, g_scal2b = vjp2b(g_weights)
             g_scal_extra = g_scal_extra + g_scal2b
-        elif cfg.agg_kind == "hard":
+        elif cfgx.agg_kind == "hard":
             g_zmap = jnp.zeros_like(zmap_full)
 
         g_prob2, g_z, g_scal2 = vjp2(g_zmap)
@@ -860,7 +936,7 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
 
         # Coverage backward -> g_dist (+ sigma grad, the reference's
         # sum-of-distance-grads quirk).
-        if cfg.rast_kind == "mc":
+        if cfgx.rast_kind == "mc":
             g_d = coeff * g_prob_raw
             g_dist = -g_d
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
@@ -875,6 +951,23 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
         return g_ndc, g_world, g_fn, g_tex, g_scal
 
+    def full_pipeline(_):
+        return run_pipeline(cfg, rd(fv_ndc_ref), rd(fv_world_ref),
+                            rd(fn_ref), rd(tex_ref), validb)
+
+    def packed_pipeline(_):
+        ohg, ohs = _pack_onehots(cfg, pack_ref)
+        fvp, fwp, fnp, txp, vlp = _pack_tables(
+            ohg, [fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+                  valid_ref[:]])
+        g_ndc_p, g_world_p, g_fn_p, g_tex_p, g_scal = run_pipeline(
+            _cfg_packed(cfg), fvp, fwp, fnp, txp,
+            _validb_tables(fvp, vlp))
+        sc = lambda gp: jax.lax.dot(ohs, gp,
+                                    precision=jax.lax.Precision.HIGHEST)
+        return (sc(g_ndc_p), sc(g_world_p), sc(g_fn_p), sc(g_tex_p),
+                g_scal)
+
     def bg_only(_):
         # Zero-coverage tile: the only surviving gradient is the background
         # color (weights are exactly the background one-hot).
@@ -887,8 +980,16 @@ def _backward_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         return (zf9, zf9, zf9,
                 jnp.zeros((cfg.f_pad, cfg.tex_d), jnp.float32), g_scal)
 
-    g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
-        active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+    act = active_ref[0, 0, 0]
+    if cfg.pack_m:
+        g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+            act > 0,
+            lambda _: jax.lax.cond(act == 2, packed_pipeline,
+                                   full_pipeline, None),
+            bg_only, None)
+    else:
+        g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+            act > 0, full_pipeline, bg_only, None)
 
     first = tile_ref[0, 0, 0] == 0
 
@@ -1040,11 +1141,63 @@ def _tile_rects(cfg: FusedConfig):
             x_hi.astype(np.float32), x_lo.astype(np.float32))
 
 
+# SAT refinement is worth its (n_tiles, F, 3-axis) projection cost only in
+# the low-poly flat regime, where single large triangles' bboxes cover tiles
+# their blur band never touches (the headline cube: ~15% of active tiles are
+# bbox-only).  High-poly scenes have near-tight bboxes (face extent << band).
+_SAT_MAX_F = 128
+
+
+def _tile_face_overlap_sat(fv_ndc, band, y_hi, y_lo, x_hi, x_lo):
+    """Exact separating-axis overlap of each band-dilated triangle with each
+    tile's pixel-center rectangle — (n_tiles, F) bool.
+
+    Triangle (+ Minkowski disk of radius ``band``) and rectangle are both
+    convex, so SAT over the rect normals (the bbox test, done by the caller)
+    plus the 3 edge normals is exact: a False is a PROOF that every pixel
+    center in the tile is farther than band from the triangle, hence
+    zero-candidate for every pixel (`_make_det1`'s inside|dist<=blur mask
+    with dist the squared point-edge distance and band = sqrt(blur)).
+    Degenerate edges skip their axis (conservative: SAT is an AND)."""
+    tri_x = fv_ndc[:, 0::3]                               # (F, 3)
+    tri_y = fv_ndc[:, 1::3]
+    ok = None
+    for e in range(3):
+        j = (e + 1) % 3
+        ex = tri_x[:, j] - tri_x[:, e]
+        ey = tri_y[:, j] - tri_y[:, e]
+        ln = jnp.sqrt(ex * ex + ey * ey)
+        good = ln > 1e-12
+        nx = jnp.where(good, -ey / jnp.maximum(ln, 1e-12), 0.0)   # (F,)
+        ny = jnp.where(good, ex / jnp.maximum(ln, 1e-12), 0.0)
+        tproj = tri_x * nx[:, None] + tri_y * ny[:, None]         # (F, 3)
+        tmin = jnp.min(tproj, axis=1) - band
+        tmax = jnp.max(tproj, axis=1) + band
+        # Rect corner projections: extremes of n.x*x + n.y*y over the 4
+        # corners factor per axis (interval arithmetic is exact here).
+        rx_min = jnp.minimum(nx[None, :] * x_lo[:, None],
+                             nx[None, :] * x_hi[:, None])         # (nt, F)
+        rx_max = jnp.maximum(nx[None, :] * x_lo[:, None],
+                             nx[None, :] * x_hi[:, None])
+        ry_min = jnp.minimum(ny[None, :] * y_lo[:, None],
+                             ny[None, :] * y_hi[:, None])
+        ry_max = jnp.maximum(ny[None, :] * y_lo[:, None],
+                             ny[None, :] * y_hi[:, None])
+        rmin = rx_min + ry_min
+        rmax = rx_max + ry_max
+        ax_ok = ((rmin <= tmax[None, :]) & (rmax >= tmin[None, :])) \
+            | ~good[None, :]
+        ok = ax_ok if ok is None else (ok & ax_ok)
+    return ok
+
+
 def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
     """(n_tiles, F) conservative face/tile overlap from bboxes expanded by
-    the blur band.  Tiles spanning whole pixel rows test y only; sub-row
-    tiles (p_tile divides the image width — the high-resolution regime)
-    also test x, which is 2-D binning.  ``blur`` may be traced."""
+    the blur band, refined by an exact separating-axis test for small F
+    (see _tile_face_overlap_sat).  Tiles spanning whole pixel rows test y
+    only; sub-row tiles (p_tile divides the image width — the
+    high-resolution regime) also test x, which is 2-D binning.  ``blur``
+    may be traced."""
     h = w = cfg.image_size
     p, nt = cfg.p_tile, _n_tiles(cfg)
     fv_ndc = jax.lax.stop_gradient(fv_ndc)
@@ -1063,6 +1216,14 @@ def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
         return ((fx_min[None, :] <= x_hi[:, None])
                 & (fx_max[None, :] >= x_lo[:, None]))
 
+    def sat(overlap):
+        if fv_ndc.shape[0] > _SAT_MAX_F:
+            return overlap
+        ry_hi, ry_lo, rx_hi, rx_lo = (jnp.asarray(a)
+                                      for a in _tile_rects(cfg))
+        return overlap & _tile_face_overlap_sat(fv_ndc, band, ry_hi, ry_lo,
+                                                rx_hi, rx_lo)
+
     if cfg.tile_w:
         tw = cfg.tile_w
         th, ntx = p // tw, w // tw
@@ -1073,7 +1234,7 @@ def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
         overlap = ((fy_min[None, :] <= y_hi[:, None])
                    & (fy_max[None, :] >= y_lo[:, None])
                    & validb[None, :])
-        return overlap & x_test((tids % ntx) * tw, tw)
+        return sat(overlap & x_test((tids % ntx) * tw, tw))
 
     y_hi, y_lo = _tile_y_ranges(cfg)
     overlap = ((fy_min[None, :] <= y_hi[:, None])
@@ -1081,7 +1242,7 @@ def _tile_face_overlap(cfg: FusedConfig, fv_ndc, validb, blur):
                & validb[None, :])
     if p < w and w % p == 0:
         overlap = overlap & x_test((np.arange(nt) * p) % w, p)
-    return overlap
+    return sat(overlap)
 
 
 def _face_validb(fv_ndc, valid_col):
@@ -1100,6 +1261,34 @@ def _active_tiles(cfg: FusedConfig, fv_ndc, valid, blur):
     overlap = _tile_face_overlap(cfg, fv_ndc,
                                  _face_validb(fv_ndc, valid[:, 0]), blur)
     return jnp.any(overlap, axis=1).astype(jnp.int32).reshape(-1, 1, 1)
+
+
+def _pack_tiles(cfg: FusedConfig, fv_ndc, valid, blur):
+    """Per-tile activity codes + packed face-id lists for flat-mode face
+    packing (cfg.pack_m > 0).
+
+    Codes: 0 = zero candidate coverage (background fast path, as in
+    `_active_tiles`); 2 = the tile's conservative band-overlap count fits
+    in pack_m - 1 face slots (packed pipeline — exact, the excluded faces
+    are out-of-band for every pixel of the tile); 1 = full pipeline.
+
+    The id list is (n_tiles, pack_m, 1) int32: overlapping face ids in
+    ascending order, fillers (and the last row, which the packed layout
+    reserves for the background channel) carry the out-of-range sentinel
+    f_pad whose one-hot row is identically zero."""
+    overlap = _tile_face_overlap(cfg, fv_ndc,
+                                 _face_validb(fv_ndc, valid[:, 0]), blur)
+    counts = jnp.sum(overlap.astype(jnp.int32), axis=1)          # (nt,)
+    m, f = cfg.pack_m, cfg.f_pad
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
+    key = jnp.where(overlap, f - iota_f, -1)                      # (nt, F)
+    kv, _ = jax.lax.top_k(key, m - 1)                             # (nt, m-1)
+    ids = jnp.where(kv > 0, f - kv, f)
+    ids = jnp.concatenate([ids, jnp.full((ids.shape[0], 1), f,
+                                         jnp.int32)], axis=1)     # bg row
+    codes = jnp.where(counts == 0, 0,
+                      jnp.where(counts <= m - 1, 2, 1)).astype(jnp.int32)
+    return codes.reshape(-1, 1, 1), ids[:, :, None].astype(jnp.int32)
 
 
 # Above this face count the per-tile top_k over the full (n_tiles, F)
@@ -1441,11 +1630,16 @@ def _binned_tables_sorted(cfg: FusedConfig, merged, fv_ndc, valid_col,
 
 
 def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
-                    active, prob=None):
+                    active, prob=None, pack=None):
     nt = _n_tiles(cfg)
     in_specs = _common_specs(cfg)
     args = [_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid,
             scal]
+    if cfg.pack_m:
+        in_specs = in_specs + [pl.BlockSpec((1, cfg.pack_m, 1),
+                                            lambda i: (i, 0, 0),
+                                            memory_space=pltpu.VMEM)]
+        args.append(pack)
     out_specs = pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((4, nt * cfg.p_tile), jnp.float32)
@@ -1472,7 +1666,7 @@ def _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
 
 
 def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
-                     active, g_out):
+                     active, g_out, pack=None):
     nt = _n_tiles(cfg)
     f, dt = cfg.f_pad, cfg.tex_d
     acc = lambda shape: pl.BlockSpec(shape, lambda i, s=len(shape): (0,) * s,
@@ -1486,13 +1680,21 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
     else:
         tblspec = acc
         tblshape = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    in_specs = _common_specs(cfg) + [
+        pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex,
+            valid, scal, g_out]
+    if cfg.pack_m:
+        in_specs.append(pl.BlockSpec((1, cfg.pack_m, 1),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(pack)
     grads = pl.pallas_call(
         partial(_backward_kernel, cfg=cfg),
         grid=(nt,),
-        in_specs=_common_specs(cfg) + [
-            pl.BlockSpec((4, cfg.p_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(tblspec((f, 9)), tblspec((f, 9)), tblspec((f, 9)),
                    tblspec((f, dt)), acc((1, _NS))),
         out_shape=(
@@ -1501,16 +1703,21 @@ def _pallas_backward(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds,
             jax.ShapeDtypeStruct((1, _NS), jnp.float32),
         ),
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid, scal,
-      g_out)
+    )(*args)
     return grads
+
+
+def _active_and_pack(cfg, fv_ndc, valid, blur):
+    if cfg.pack_m:
+        return _pack_tiles(cfg, fv_ndc, valid, blur)
+    return _active_tiles(cfg, fv_ndc, valid, blur), None
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_core(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
-    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
+    active, pack = _active_and_pack(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     return _pallas_forward(cfg, fv_ndc, fv_world, fn, tex, valid, scal,
-                           seeds, active)
+                           seeds, active, pack=pack)
 
 
 def _fused_core_fwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
@@ -1520,9 +1727,10 @@ def _fused_core_fwd(cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds):
 
 def _fused_core_bwd(cfg, res, g):
     fv_ndc, fv_world, fn, tex, valid, scal, seeds = res
-    active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
+    active, pack = _active_and_pack(cfg, fv_ndc, valid, scal[0, _S_BLUR])
     g_ndc, g_world, g_fn, g_tex, g_scal = _pallas_backward(
-        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, g)
+        cfg, fv_ndc, fv_world, fn, tex, valid, scal, seeds, active, g,
+        pack=pack)
     g_seeds = np.zeros(seeds.shape, jax.dtypes.float0)
     return (g_ndc, g_world, g_fn, g_tex, jnp.zeros_like(valid), g_scal,
             g_seeds)
@@ -2753,74 +2961,76 @@ def _loss_cotangent(loss_kind, rgb_rows, target_ref, pvf, lscale):
 
 def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
                       fv_world_ref, fn_ref, tex_ref, valid_ref, scal_ref,
-                      target_ref, lscale_ref, loss_ref, g_ndc_ref,
-                      g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref,
-                      *scratch, cfg, loss_kind):
+                      target_ref, lscale_ref, *rest, cfg, loss_kind):
     """The backward kernel with the image-loss cotangent derived in place:
     emits (loss partial, table/scalar gradients) — value_and_grad of the
     image loss costs one kernel launch instead of forward + backward."""
+    if cfg.pack_m:
+        pack_ref, rest = rest[0], rest[1:]
+    (loss_ref, g_ndc_ref, g_world_ref, g_fn_ref, g_tex_ref, g_scal_ref,
+     *scratch) = rest
     pos, px, py, pixvalid, validb = _tile_setup(cfg, tile_ref, valid_ref,
                                                 fv_ndc_ref)
     scal = scal_ref[:]
     rd = _rd(cfg)
     lscale = lscale_ref[0, 0]
     pvf = pixvalid.astype(jnp.float32)
+    stash = _agg_stash(cfg)   # scratch allocation keys on the FULL config
 
     def loss_and_cotangent(rgb_rows):
         return _loss_cotangent(loss_kind, rgb_rows, target_ref, pvf, lscale)
 
-    def full_pipeline(_):
-        det1 = _make_det1(cfg, px, py, pixvalid, validb)
+    def run_pipeline(cfgx, fv_ndc_t, fv_world_t, fn_t, tex_t, validbx):
+        det1 = _make_det1(cfgx, px, py, pixvalid, validbx)
         (dist, z, c0, c1, c2, maskf), vjp1 = jax.vjp(
-            det1, rd(fv_ndc_ref), rd(fv_world_ref), rd(fn_ref), rd(tex_ref),
-            scal)
+            det1, fv_ndc_t, fv_world_t, fn_t, tex_t, scal)
 
         sigma = scal[0, _S_SIGMA]
         gamma = scal[0, _S_GAMMA]
-        if cfg.rast_kind == "mc":
+        if cfgx.rast_kind == "mc":
             prob_raw, coeff = _mc_rast_fwd_coeff(
-                cfg, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
+                cfgx, -dist, sigma, seeds_ref[0, 0], seeds_ref[0, 1], pos)
             vjp_rast = None
         else:
-            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfg), dist, scal)
+            prob_raw, vjp_rast = jax.vjp(_make_det_rast(cfgx), dist, scal)
         prob = prob_raw * maskf
 
-        zmap_full, vjp2 = jax.vjp(_make_det2(cfg, maskf), prob, z, scal)
-        if cfg.agg_kind == "soft":
+        zmap_full, vjp2 = jax.vjp(_make_det2(cfgx, maskf), prob, z, scal)
+        if cfgx.agg_kind == "soft":
             weights, vjp2b = jax.vjp(_det2b_soft, zmap_full, scal)
-        elif cfg.agg_kind == "hard":
+        elif cfgx.agg_kind == "hard":
             weights, vjp2b = _hard_onehot_rows(zmap_full), None
-        elif _agg_stash(cfg):
+        elif stash:
             weights = _mc_agg_forward_stash(
-                cfg, zmap_full, gamma, seeds_ref[0, 2], seeds_ref[0, 3],
+                cfgx, zmap_full, gamma, seeds_ref[0, 2], seeds_ref[0, 3],
                 pos, scratch[0])
             vjp2b = None
         else:
-            weights = _mc_agg_forward(cfg, zmap_full, gamma,
+            weights = _mc_agg_forward(cfgx, zmap_full, gamma,
                                       seeds_ref[0, 2], seeds_ref[0, 3], pos)
             vjp2b = None
 
-        out3, vjp3 = jax.vjp(_make_det3(cfg), weights, prob, c0, c1, c2,
+        out3, vjp3 = jax.vjp(_make_det3(cfgx), weights, prob, c0, c1, c2,
                              scal)
         loss_tile, g_rgb = loss_and_cotangent(
             [out3[c:c + 1] for c in range(3)])
         g_rgba = jnp.concatenate(
-            g_rgb + [jnp.zeros((1, cfg.p_tile), jnp.float32)], axis=0)
+            g_rgb + [jnp.zeros((1, cfgx.p_tile), jnp.float32)], axis=0)
         g_weights, g_prob3, g_c0, g_c1, g_c2, g_scal3 = vjp3(g_rgba)
 
         g_scal_extra = jnp.zeros((1, _NS), jnp.float32)
-        if cfg.agg_kind == "soft":
+        if cfgx.agg_kind == "soft":
             g_zmap, g_scal2b = vjp2b(g_weights)
             g_scal_extra = g_scal_extra + g_scal2b
-        elif cfg.agg_kind == "hard":
+        elif cfgx.agg_kind == "hard":
             g_zmap = jnp.zeros_like(zmap_full)
         else:
-            if _agg_stash(cfg):
+            if stash:
                 g_zmap, gamma_term = _mc_agg_grads_stashed(
-                    cfg, zmap_full, g_weights, gamma, scratch[0])
+                    cfgx, zmap_full, g_weights, gamma, scratch[0])
             else:
                 g_zmap, gamma_term = _mc_agg_grads(
-                    cfg, zmap_full, g_weights, gamma, seeds_ref[0, 2],
+                    cfgx, zmap_full, g_weights, gamma, seeds_ref[0, 2],
                     seeds_ref[0, 3], pos)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
             g_scal_extra = g_scal_extra + jnp.where(
@@ -2829,7 +3039,7 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         g_prob2, g_z, g_scal2 = vjp2(g_zmap)
         g_prob_raw = (g_prob2 + g_prob3) * maskf
 
-        if cfg.rast_kind == "mc":
+        if cfgx.rast_kind == "mc":
             g_d = coeff * g_prob_raw
             g_dist = -g_d
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, _NS), 1)
@@ -2844,6 +3054,24 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         g_scal = g_scal3 + g_scal_extra + g_scal2 + g_scal1
         return loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal
 
+    def full_pipeline(_):
+        return run_pipeline(cfg, rd(fv_ndc_ref), rd(fv_world_ref),
+                            rd(fn_ref), rd(tex_ref), validb)
+
+    def packed_pipeline(_):
+        cfg2 = _cfg_packed(cfg)
+        ohg, ohs = _pack_onehots(cfg, pack_ref)
+        fvp, fwp, fnp, txp, vlp = _pack_tables(
+            ohg, [fv_ndc_ref[:], fv_world_ref[:], fn_ref[:], tex_ref[:],
+                  valid_ref[:]])
+        loss_tile, g_ndc_p, g_world_p, g_fn_p, g_tex_p, g_scal = \
+            run_pipeline(cfg2, fvp, fwp, fnp, txp,
+                         _validb_tables(fvp, vlp))
+        sc = lambda gp: jax.lax.dot(ohs, gp,
+                                    precision=jax.lax.Precision.HIGHEST)
+        return (loss_tile, sc(g_ndc_p), sc(g_world_p), sc(g_fn_p),
+                sc(g_tex_p), g_scal)
+
     def bg_only(_):
         bg_rows = [jnp.full((1, cfg.p_tile), scal[0, _S_BG + c])
                    for c in range(3)]
@@ -2857,8 +3085,16 @@ def _loss_grad_kernel(tile_ref, active_ref, seeds_ref, fv_ndc_ref,
         return (loss_tile, zf9, zf9, zf9,
                 jnp.zeros((cfg.f_pad, cfg.tex_d), jnp.float32), g_scal)
 
-    loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
-        active_ref[0, 0, 0] > 0, full_pipeline, bg_only, None)
+    act = active_ref[0, 0, 0]
+    if cfg.pack_m:
+        loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+            act > 0,
+            lambda _: jax.lax.cond(act == 2, packed_pipeline,
+                                   full_pipeline, None),
+            bg_only, None)
+    else:
+        loss_tile, g_ndc, g_world, g_fn, g_tex, g_scal = jax.lax.cond(
+            act > 0, full_pipeline, bg_only, None)
 
     first = tile_ref[0, 0, 0] == 0
 
@@ -2916,15 +3152,25 @@ def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
     if _agg_stash(cfg):
         scratch.append(pltpu.VMEM((cfg.s_agg, cfg.c_zpad, cfg.p_tile),
                                   jnp.float32))
+    in_specs = _common_specs(cfg) + [
+        pl.BlockSpec((3, cfg.p_tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),          # target tile
+        _const_spec((1, 1)),                            # loss scale
+    ]
+    if cfg.pack_m:
+        active, pack = _pack_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
+        in_specs.append(pl.BlockSpec((1, cfg.pack_m, 1),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        extra = (target_cm, lscale, pack)
+    else:
+        active = _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR])
+        extra = (target_cm, lscale)
     return pl.pallas_call(
         partial(_loss_grad_kernel, cfg=cfg, loss_kind=loss_kind),
         grid=(nt,),
         scratch_shapes=scratch,
-        in_specs=_common_specs(cfg) + [
-            pl.BlockSpec((3, cfg.p_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),      # target tile
-            _const_spec((1, 1)),                        # loss scale
-        ],
+        in_specs=in_specs,
         out_specs=(acc((1, 1)), tblspec((f, 9)), tblspec((f, 9)),
                    tblspec((f, 9)), tblspec((f, dt)), acc((1, _NS))),
         out_shape=(
@@ -2940,8 +3186,8 @@ def _pallas_loss_grad(cfg, loss_kind, fv_ndc, fv_world, fn, tex, valid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(_tile_ids(cfg), _active_tiles(cfg, fv_ndc, valid, scal[0, _S_BLUR]),
-      seeds, fv_ndc, fv_world, fn, tex, valid, scal, target_cm, lscale)
+    )(_tile_ids(cfg), active, seeds, fv_ndc, fv_world, fn, tex, valid,
+      scal, *extra)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -3165,6 +3411,17 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 and settings.image_size % th == 0):
             tile_w = tw
 
+    # Flat-mode per-tile face packing: tiles whose conservative band-overlap
+    # count fits in pack_m - 1 faces run the whole pipeline (geometry,
+    # shading, both MC estimator loops, vjps) on pack_m slot rows instead of
+    # f_pad — exact for everything but the MC noise realization (the packed
+    # rows draw the row-indexed streams of their packed positions).  Off for
+    # the sharded path (its folded-equivalence pin requires one layout).
+    pack_m = 0
+    if (not stream and not binned and sample_axis is None and f_pad >= 16
+            and os.environ.get("PERTRENDERER_PACK", "on") != "off"):
+        pack_m = 8
+
     tex = meshes.textures
     if tex is None:
         return no("mesh has no textures")  # the XLA path raises too
@@ -3217,6 +3474,7 @@ def _plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
         stream=stream,
         rw=rw,
         tile_w=tile_w,
+        pack_m=pack_m,
     )
 
 
@@ -3249,6 +3507,9 @@ class RenderPlan:
     tile: tuple = ()
     slots: int = 0        # flat/binned live slot rows
     table_rows: int = 0   # streaming sorted-table rows (chunk multiple)
+    pack: int = 0         # flat-mode per-tile face packing (0 = off):
+                          # tiles with <= pack-1 band-overlapping faces run
+                          # the pipeline on pack slot rows
 
 
 def render_plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
@@ -3287,7 +3548,7 @@ def render_plan(meshes, cameras, lights, materials, smoothrast, smoothagg,
                    "overflow)" % cfg.f_pad)
     return RenderPlan(
         mode="flat", f=f, k=k, image_size=cfg.image_size,
-        p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad,
+        p_tile=cfg.p_tile, tile=tile, slots=cfg.f_pad, pack=cfg.pack_m,
         reason="every face holds a slot (F <= faces_per_pixel); exact, no "
                "selection")
 

@@ -492,3 +492,167 @@ def test_prng_probe_matches_committed_goldens():
     for nt in ("uniform", "gaussian", "cauchy"):
         got = np.asarray(fr.prng_probe(nt, interpret=True))
         np.testing.assert_array_equal(got, ref[nt])
+
+
+# ---------------------------------------------------------------------------
+# Flat-mode per-tile face packing (cfg.pack_m)
+# ---------------------------------------------------------------------------
+
+def _build_tiled(noise, monkeypatch, imsize=32, s=4):
+    """A scene whose tiling produces genuinely packed (code 2) tiles:
+    forcing 128-pixel strips at 32^2 gives 8 tiles, several holding <= 7
+    of the cube's 12 faces in band."""
+    monkeypatch.setenv("PERTRENDERER_PTILE", "128")
+    return _build(noise, imsize=imsize, k=50, s=s)
+
+
+def _pack_codes(mesh, cameras, lights, renderer):
+    from pertrenderer_tpu.lights import Materials
+
+    cfg = fr._plan(mesh, cameras, lights, Materials.create(),
+                   renderer.shader.smoothrast, renderer.shader.smoothagg,
+                   renderer.rasterizer.raster_settings, "phong",
+                   assume_available=True)
+    assert cfg is not None and cfg.pack_m == 8
+    verts_ndc = cameras.transform_points_ndc(mesh.verts)
+    fv = jax.vmap(fr._gather_rows)(verts_ndc,
+                                   jnp.maximum(mesh.faces, 0))[0]
+    fv = jnp.pad(fv, ((0, cfg.f_pad - mesh.max_faces), (0, 0)))
+    valid = jnp.pad(jnp.ones((mesh.max_faces, 1)),
+                    ((0, cfg.f_pad - mesh.max_faces), (0, 0)))
+    codes, ids = fr._pack_tiles(cfg, fv, valid,
+                                jnp.float32(cfg.blur_radius))
+    return cfg, np.asarray(codes).ravel(), np.asarray(ids)[..., 0]
+
+
+def test_pack_tiles_prepass(monkeypatch):
+    """_pack_tiles codes/ids vs the overlap matrix: code 2 exactly when
+    0 < count <= pack_m - 1; its id list holds exactly the overlapping
+    faces (ascending) padded with the f_pad sentinel, background row last."""
+    mesh, cameras, lights, renderer = _build_tiled("softras", monkeypatch)
+    cfg, codes, ids = _pack_codes(mesh, cameras, lights, renderer)
+    verts_ndc = cameras.transform_points_ndc(mesh.verts)
+    fv = jax.vmap(fr._gather_rows)(verts_ndc,
+                                   jnp.maximum(mesh.faces, 0))[0]
+    fv = jnp.pad(fv, ((0, cfg.f_pad - mesh.max_faces), (0, 0)))
+    validb = jnp.pad(jnp.ones((mesh.max_faces,), bool),
+                     (0, cfg.f_pad - mesh.max_faces))
+    ov = np.asarray(fr._tile_face_overlap(cfg, fv, validb,
+                                          jnp.float32(cfg.blur_radius)))
+    counts = ov.sum(1)
+    assert (codes == np.where(counts == 0, 0,
+                              np.where(counts <= 7, 2, 1))).all()
+    assert 2 in codes and 1 in codes and 0 in codes
+    for t in np.nonzero(codes == 2)[0]:
+        want = list(np.nonzero(ov[t])[0])
+        want = want + [cfg.f_pad] * (cfg.pack_m - len(want))
+        assert ids[t].tolist() == want, (t, ids[t], want)
+
+
+@pytest.mark.parametrize("noise", ["softras", "hard"])
+def test_packed_deterministic_parity(noise, monkeypatch):
+    """Deterministic members: packed tiles are EXACT — forward image and
+    every render_loss gradient match the pack-disabled run (the excluded
+    faces are provably out-of-band for every pixel of a packed tile, and
+    the one-hot gather/scatter matmuls run at HIGHEST precision)."""
+    mesh, cameras, lights, renderer = _build_tiled(noise, monkeypatch)
+    cfg, codes, _ = _pack_codes(mesh, cameras, lights, renderer)
+    assert 2 in codes   # the scene genuinely exercises the packed branch
+    tgt = jnp.linspace(0.0, 1.0, 32 * 32 * 3).reshape(1, 32, 32, 3)
+
+    def run():
+        img = np.asarray(renderer(mesh, key=KEY, cameras=cameras,
+                                  lights=lights))
+
+        def loss(log_rot):
+            rot = so3_exp_map(log_rot)
+            pred = mesh.update_padded(Rotate(rot).transform_points(
+                mesh.verts_padded()))
+            return renderer.render_loss(pred, tgt, key=KEY,
+                                        cameras=cameras, lights=lights)
+        l, g = jax.value_and_grad(loss)(jnp.array([[0.1, -0.2, 0.3]]))
+        return img, float(l), np.asarray(g)
+
+    img1, l1, g1 = run()
+    monkeypatch.setenv("PERTRENDERER_PACK", "off")
+    img0, l0, g0 = run()
+    np.testing.assert_allclose(img1, img0, atol=1e-6)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-9)
+
+
+def test_packed_mc_statistics(monkeypatch):
+    """MC members: packed tiles draw the row-indexed noise streams of their
+    packed positions (fresh-but-valid realizations), so packed and unpacked
+    runs agree in EXPECTATION, not bitwise.  Key-averaged forward images
+    must match within MC error; replay consistency within one key is pinned
+    by test_render_loss_single_kernel_parity (both sides pack)."""
+    mesh, cameras, lights, renderer = _build_tiled("gaussian", monkeypatch,
+                                                   s=8)
+    cfg, codes, _ = _pack_codes(mesh, cameras, lights, renderer)
+    assert 2 in codes
+    nk = 12
+
+    def mean_img():
+        acc = 0.0
+        for i in range(nk):
+            acc = acc + np.asarray(renderer(
+                mesh, key=jax.random.PRNGKey(50 + i), cameras=cameras,
+                lights=lights))
+        return acc / nk
+
+    m1 = mean_img()
+    monkeypatch.setenv("PERTRENDERER_PACK", "off")
+    m0 = mean_img()
+    diff = np.abs(m1 - m0)
+    # 96 one-hot samples/pixel: ~4 sigma
+    assert diff.max() < 0.3, diff.max()
+    assert diff.mean() < 0.02
+
+
+def test_sat_overlap_conservative(monkeypatch):
+    """The separating-axis tile/face overlap refinement is conservative:
+    every (tile, face) pair it prunes has zero candidate pixels (the
+    in-band test of _make_det1) — brute-forced per pixel over random
+    poses.  A false prune would silently blank coverage."""
+    from pertrenderer_tpu.ops.rasterize import _face_pixel_geometry
+
+    monkeypatch.setenv("PERTRENDERER_PTILE", "128")
+    mesh0, cameras, lights, renderer = _build("softras", imsize=32, k=50)
+    from pertrenderer_tpu.lights import Materials
+
+    cfg = fr._plan(mesh0, cameras, lights, Materials.create(),
+                   renderer.shader.smoothrast, renderer.shader.smoothagg,
+                   renderer.rasterizer.raster_settings, "phong",
+                   assume_available=True)
+    h = w = cfg.image_size
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(((w - 1.0 - 2.0 * xs) / w).ravel()[None])
+    py = jnp.asarray(((h - 1.0 - 2.0 * ys) / h).ravel()[None])
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        wv = rng.randn(3)
+        wv = wv / np.linalg.norm(wv) * np.deg2rad(rng.uniform(0, 180))
+        rot = so3_exp_map(jnp.asarray(wv)[None])
+        mesh = mesh0.update_padded(Rotate(rot).transform_points(
+            mesh0.verts_padded()))
+        fv = jax.vmap(fr._gather_rows)(
+            cameras.transform_points_ndc(mesh.verts),
+            jnp.maximum(mesh.faces, 0))[0]
+        f = mesh.max_faces
+        fv_pad = jnp.pad(fv, ((0, cfg.f_pad - f), (0, 0)))
+        validb = jnp.pad(jnp.ones((f,), bool), (0, cfg.f_pad - f))
+        ov = np.asarray(fr._tile_face_overlap(
+            cfg, fv_pad, validb, jnp.float32(cfg.blur_radius)))
+        coords = [fv_pad[:, i:i + 1] for i in range(9)]
+        w0, w1, w2, z, dist, inside, degen = _face_pixel_geometry(
+            px, py, *coords, cfg.clip_bary, cfg.perspective_correct)
+        cand = np.asarray((inside | (dist <= cfg.blur_radius))
+                          & ~degen).reshape(cfg.f_pad, h, w)
+        p = cfg.p_tile
+        for t in range(ov.shape[0]):
+            pruned = np.nonzero(~ov[t, :f])[0]
+            if not len(pruned):
+                continue
+            r0, r1 = (t * p) // w, min(((t + 1) * p - 1) // w + 1, h)
+            assert not cand[pruned, r0:r1].any(), (t, pruned)

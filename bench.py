@@ -137,8 +137,37 @@ def check_prng_identity():
         return False
 
 
+def check_geometry_identity():
+    """Geometry transforms must be EXACT f32 on this backend: the MXU's
+    default matmul pass rounds f32 operands to bfloat16 (~2e-3 relative),
+    which moves every vertex under an identity rotation by more than a
+    sigma=1e-3 blur band (measured 2026-08-19: 6.2e-3 absolute on a
+    radius-3 mesh).  transforms/cameras pin Precision.HIGHEST; this check
+    fails if a regression (or a new unannotated matmul) reintroduces it."""
+    import pertrenderer_tpu as pt
+    from pertrenderer_tpu.transforms import Rotate, so3_exp_map
+
+    try:
+        verts, _ = pt.make_icosphere(2)
+        base = jnp.asarray(verts, jnp.float32)[None] * 3.0
+        out = jax.jit(lambda lr: Rotate(so3_exp_map(lr)).transform_points(
+            base))(jnp.zeros((1, 3)))
+        if not np.array_equal(np.asarray(out), np.asarray(base)):
+            print("geometry identity pin FAILED: identity rotation moved "
+                  f"vertices by {np.abs(np.asarray(out - base)).max()}",
+                  file=sys.stderr)
+            return False
+        print("geometry identity pin: OK (identity rotation bit-exact "
+              "compiled)", file=sys.stderr)
+        return True
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"geometry identity check errored: {e!r}", file=sys.stderr)
+        return False
+
+
 def main():
     prng_ok = check_prng_identity()
+    geom_ok = check_geometry_identity()
     make = build_scan()
     x0 = jnp.zeros((1, 3))
     k0 = jax.random.PRNGKey(0)
@@ -161,6 +190,7 @@ def main():
         "unit": "renders/sec",
         "vs_baseline": round(renders_per_sec / 5000.0, 4),
         "prng_identity_pin": prng_ok,
+        "geometry_identity_pin": geom_ok,
     }))
 
 

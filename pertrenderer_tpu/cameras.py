@@ -23,8 +23,14 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
+
+# Camera matmuls are tiny but precision-critical: the TPU MXU's default pass
+# rounds f32 operands to bfloat16 (~2e-3 relative), which would perturb every
+# projected vertex by more than a sigma=1e-3 blur band.
+_HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "PerspectiveCameras",
@@ -87,11 +93,12 @@ class PerspectiveCameras:
 
     def camera_center(self) -> jnp.ndarray:
         """World-space camera positions (N, 3): C = -T @ R^T."""
-        return -jnp.einsum("nj,nkj->nk", self.T, self.R)
+        return -jnp.einsum("nj,nkj->nk", self.T, self.R, precision=_HI)
 
     def transform_points_view(self, points: jnp.ndarray) -> jnp.ndarray:
         """World -> view. points: (N, P, 3)."""
-        return points @ self.R + self.T[:, None, :]
+        return jnp.matmul(points, self.R, precision=_HI) \
+            + self.T[:, None, :]
 
     def project_view_to_ndc(self, points_view: jnp.ndarray) -> jnp.ndarray:
         """View -> (x_ndc, y_ndc, z_view). points_view: (N, P, 3).
@@ -173,5 +180,5 @@ def look_at_view_transform(
     z = dist * jnp.cos(elev) * jnp.cos(azim)
     camera_position = jnp.stack([x, y, z], axis=-1) + at_arr
     R = look_at_rotation(camera_position, at=at_arr, up=up)
-    T = -jnp.einsum("nj,njk->nk", camera_position, R)
+    T = -jnp.einsum("nj,njk->nk", camera_position, R, precision=_HI)
     return R, T

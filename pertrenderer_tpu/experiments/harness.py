@@ -77,7 +77,8 @@ def init_renderers(camera, lights, R_true, key, pert_init_intensity=30.0,
         r_pert = so3_exp_map(
             (pert_init_intensity * np.pi / 180.0)
             * r_pert / jnp.linalg.norm(r_pert, axis=1, keepdims=True))
-        R_init = R_true @ r_pert
+        R_init = jnp.matmul(R_true, r_pert,
+                            precision=jax.lax.Precision.HIGHEST)
     log_rot_init = so3_log_map(R_init)
 
     blend = pt.BlendParams(sigma=sigma, gamma=gamma,

@@ -229,7 +229,10 @@ def _pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     (MXU path)."""
     xx = jnp.sum(x * x, axis=-1, keepdims=True)
     yy = jnp.sum(y * y, axis=-1, keepdims=True)
-    xy = x @ y.T
+    # HIGHEST: the MXU's default bf16 pass would round coordinates (~2e-3
+    # relative), enough to flip nearest-neighbor selections between close
+    # points; exact-f32 distances keep knn/chamfer reference-faithful.
+    xy = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(xx - 2.0 * xy + yy.T, 0.0)
 
 

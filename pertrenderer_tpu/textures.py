@@ -65,7 +65,8 @@ def interpolate_face_attributes(
     vals = take_rows_batched(face_attrs.reshape(n, f, 3 * c), pix_to_face)
     vals = vals.reshape(pix_to_face.shape + (3, c))
     # take_rows already zeroes empty (-1) fragments.
-    return jnp.einsum("...v,...vc->...c", bary_coords, vals)
+    return jnp.einsum("...v,...vc->...c", bary_coords, vals,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @struct.dataclass
@@ -163,7 +164,8 @@ class TexturesUV:
         f = uv_corners.shape[1]
         uv_pix = take_rows_batched(uv_corners.reshape(n, f, 6), pix_to_face)
         uv_pix = uv_pix.reshape(pix_to_face.shape + (3, 2))
-        uv = jnp.einsum("...v,...vc->...c", bary_coords, uv_pix)  # (..., 2)
+        uv = jnp.einsum("...v,...vc->...c", bary_coords, uv_pix,
+                        precision=jax.lax.Precision.HIGHEST)  # (..., 2)
 
         # Bilinear fetch: 4 corner texels in ONE row-gather from the
         # linearized map.

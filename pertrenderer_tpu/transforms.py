@@ -29,6 +29,17 @@ __all__ = [
 
 _EPS = 1e-8
 
+# Geometry matmuls are tiny ((..., 3) @ (3, 3)) but precision-critical: the
+# TPU MXU's default pass rounds f32 operands to bfloat16 (~2e-3 relative
+# vertex error — larger than a sigma=1e-3 smoothing scale, and enough to make
+# an identity rotation move every vertex).  HIGHEST keeps them exact f32 at
+# negligible cost.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HI)
+
 
 def hat(v: jnp.ndarray) -> jnp.ndarray:
     """Map batched 3-vectors to skew-symmetric matrices: hat(v) @ x = v × x."""
@@ -60,7 +71,7 @@ def so3_exp_map(log_rot: jnp.ndarray) -> jnp.ndarray:
     theta_sq = jnp.sum(log_rot * log_rot, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta_sq, _EPS * _EPS))
     k = hat(log_rot)
-    k2 = k @ k
+    k2 = _mm(k, k)
     sin_t = jnp.sin(theta)
     cos_t = jnp.cos(theta)
     a = (sin_t / theta)[..., None, None]
@@ -94,7 +105,7 @@ def so3_log_map(r: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
 def so3_relative_angle(r1: jnp.ndarray, r2: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     """Angle of the relative rotation r1^T r2 (radians), as in the reference
     pose metric (`/root/reference/experiments/eval.py:627-629`)."""
-    r12 = jnp.swapaxes(r1, -1, -2) @ r2
+    r12 = _mm(jnp.swapaxes(r1, -1, -2), r2)
     return so3_rotation_angle(r12, eps=eps)
 
 
@@ -136,7 +147,7 @@ class Rotate:
 
     def transform_points(self, points: jnp.ndarray) -> jnp.ndarray:
         """points: (N, P, 3) -> (N, P, 3)."""
-        return points @ self.R
+        return _mm(points, self.R)
 
     def inverse(self) -> "Rotate":
         return Rotate(jnp.swapaxes(self.R, -1, -2))

@@ -68,3 +68,18 @@ def test_rotate_transform():
     np.testing.assert_allclose(out, pts @ r, atol=1e-6)
     back = Rotate(r).inverse().transform_points(out)
     np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_identity_rotation_bit_exact():
+    """Identity rotation must return the input vertices BIT-EXACTLY, under
+    jit, on every backend.  On TPU the MXU's default matmul pass rounds f32
+    operands to bfloat16 (~2e-3 relative vertex error — larger than a
+    sigma=1e-3 blur band); transforms/cameras pin Precision.HIGHEST so this
+    holds compiled on-chip too (bench.py's geometry_identity_pin runs the
+    same check on the real chip every round)."""
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, 257, 3)),
+                      jnp.float32) * 3.0
+    out = jax.jit(
+        lambda lr: Rotate(so3_exp_map(lr)).transform_points(pts))(
+            jnp.zeros((1, 3)))
+    assert np.array_equal(np.asarray(out), np.asarray(pts))

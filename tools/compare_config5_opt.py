@@ -34,13 +34,24 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--adapt", action="store_true", default=True)
+    ap.add_argument("--no-adapt", dest="adapt", action="store_false")
     ap.add_argument("--image", type=int, default=512)
     ap.add_argument("--k", type=int, default=150)
     ap.add_argument("--s", type=int, default=8)
     ap.add_argument("--level", type=int, default=6)
     ap.add_argument("--pert", type=float, default=20.0)  # degrees
     ap.add_argument("--lr", type=float, default=3e-2)
+    # Coarse-to-fine smoothing: at 512^2 the sharp target's sub-band detail
+    # creates spurious minima for the fine-sigma objective (measured: a
+    # 15 deg start diverges to ~29 deg at sigma=1e-3 while the same problem
+    # at 64^2 converges).  Start coarse; annealing divides back down to the
+    # config's (1e-3, 1e-2) by the end of the run.
+    ap.add_argument("--sigma0", type=float, default=6e-3)
+    ap.add_argument("--gamma0", type=float, default=6e-2)
+    ap.add_argument("--adapt-params", type=float, nargs=2,
+                    default=(1.35, 1.35))
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--modes", nargs="+", default=["stream", "binned"])
     ap.add_argument("--out", default=os.path.join(
@@ -55,20 +66,30 @@ def main():
 
     imsize = args.image
     verts, faces = pt.make_icosphere(args.level)
-    mesh = pt.Meshes.create(
-        verts, faces,
-        textures=pt.TexturesVertex(
-            0.5 + 0.5 * jnp.abs(jnp.asarray(verts))[None]))
+    # Low-frequency ASYMMETRIC texture: the previous 0.5+0.5|v| pattern has
+    # octahedral symmetry, making the pose nearly unidentifiable (a 20-deg
+    # rotation barely changes the image; measured: loss flat at 0.058 for
+    # both modes over 200 iters).  Distinct incommensurate phases per
+    # channel give every rotation a unique appearance.
+    v = jnp.asarray(verts)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    tex = jnp.stack([0.5 + 0.5 * jnp.sin(2.3 * x + 1.3 * y + 0.7),
+                     0.5 + 0.5 * jnp.sin(1.7 * y + 2.9 * z + 1.1),
+                     0.5 + 0.5 * jnp.sin(3.1 * z + 1.9 * x + 2.3)], axis=-1)
+    mesh = pt.Meshes.create(verts, faces, textures=pt.TexturesVertex(
+        tex[None]))
     mesh = mesh.scale_verts(3.0)
 
     r, t = pt.look_at_view_transform(dist=6.7, elev=30.0, azim=120.0)
     cameras = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
     lights = pt.PointLights.create(location=(0.0, 2.0, -2.0))
-    sigma, gamma = 1e-3, 1e-2
-    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
 
     # Ground truth: a random true rotation; target is its HARD render
-    # (K=1, blur 0 — the reference's target recipe, eval.py:265-283).
+    # (blur 0, hard winner-take-all — the reference's target recipe,
+    # eval.py:265-283).  Rendered through the fused HardRast+HardAgg member
+    # (same nearest-covering-face image as the staged K=1 HardPhongShader,
+    # ~0.4 s vs ~690 s for the staged path at this face count) and cached
+    # on disk keyed by the scene config.
     key = jax.random.PRNGKey(args.seed)
     k_axis, key = jax.random.split(key)
     axis = jax.random.normal(k_axis, (1, 3))
@@ -77,20 +98,34 @@ def main():
     r_true = so3_exp_map(log_rot_true)
     target_mesh = mesh.update_padded(
         Rotate(r_true).transform_points(mesh.verts_padded()))
-    hard = pt.MeshRenderer.create(
-        rasterizer=pt.MeshRasterizer.create(
-            cameras=cameras,
-            raster_settings=pt.RasterizationSettings(
-                image_size=imsize, faces_per_pixel=1)),
-        shader=pt.HardPhongShader.create(
-            cameras=cameras, lights=lights,
-            blend_params=pt.BlendParams(background_color=(0.0, 0.0, 0.0))))
-    t0 = time.time()
-    target = np.asarray(hard(target_mesh, cameras=cameras,
-                             lights=lights))[..., :3]
-    print(f"hard target: {time.time() - t0:.1f}s, "
-          f"coverage={(target.sum(-1) > 0).mean():.3f}", file=sys.stderr)
+    cache = os.path.join("/tmp", f"c5target_{args.level}_{imsize}_"
+                         f"{args.seed}_{args.pert:g}.npy")
+    if os.path.exists(cache):
+        target = np.load(cache)
+        print(f"hard target: cached ({cache})", file=sys.stderr)
+    else:
+        hard = pt.MeshRenderer.create(
+            rasterizer=pt.MeshRasterizer.create(
+                cameras=cameras,
+                raster_settings=pt.RasterizationSettings(
+                    image_size=imsize, blur_radius=0.0,
+                    faces_per_pixel=args.k, perspective_correct=False)),
+            shader=pt.RandomPhongShader.create(
+                cameras=cameras, lights=lights,
+                blend_params=pt.BlendParams(
+                    background_color=(0.0, 0.0, 0.0)),
+                smoothrast=pt.HardRast.create(),
+                smoothagg=pt.HardAgg.create()))
+        t0 = time.time()
+        target = np.asarray(hard(target_mesh, cameras=cameras,
+                                 lights=lights))[..., :3]
+        print(f"hard target: {time.time() - t0:.1f}s, "
+              f"coverage={(target.sum(-1) > 0).mean():.3f}",
+              file=sys.stderr)
+        np.save(cache, target)
 
+    sigma, gamma = args.sigma0, args.gamma0
+    blur = float(np.log(1.0 / 1e-4 - 1.0) * sigma)
     settings = pt.RasterizationSettings(
         image_size=imsize, blur_radius=blur, faces_per_pixel=args.k,
         max_faces_per_bin=50000, perspective_correct=False)
@@ -133,7 +168,9 @@ def main():
         res = optimize_pose(mesh, cameras, lights, jnp.zeros((1, 3)), rr,
                             (jnp.asarray(target),), key=key,
                             lr_init=args.lr, Niter=args.iters,
-                            segment_size=50)
+                            adapt_reg=args.adapt,
+                            adapt_params=tuple(args.adapt_params),
+                            anneal_sample_cap=args.s, segment_size=50)
         wall = time.time() - t0
         final = angle_deg(res.log_rot)
         best = angle_deg(res.best_log_rot)

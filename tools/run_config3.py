@@ -88,6 +88,19 @@ def main():
     ap.add_argument("--lr-decay", type=float, default=1.25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--schedule", default="",
+                    help="comma list of image sizes for coarse-to-fine, "
+                         "e.g. '64,128,256': the full alternation runs at "
+                         "the first size (where the 4-view profiled "
+                         "landscape is measured convergent), then "
+                         "--refine-blocks camera/texture blocks per finer "
+                         "size starting from the coarse solution (cameras "
+                         "and per-vertex texture are resolution-"
+                         "independent).  Empty = single stage at --image.")
+    ap.add_argument("--refine-blocks", type=int, default=3)
+    ap.add_argument("--final-tex-iters", type=int, default=0,
+                    help="final texture-refit iterations at the finest "
+                         "stage (0 = use --tex-iters)")
     ap.add_argument("--k", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
@@ -120,8 +133,10 @@ def main():
                                      azim=true_azim)
     cam_true = pt.PerspectiveCameras.create(R=r, T=t, fov=60.0)
     cow_n = cow.extend(nv_)
+    stages = [int(s) for s in args.schedule.split(",") if s] or [imsize]
+    imsize = stages[-1]
     target = harness.get_hard_rendering(cow_n, cam_true, lights,
-                                        imsize)[..., :3]        # (nv, H, W, 3)
+                                        stages[0])[..., :3]     # (nv, H, W, 3)
 
     # Perturbed start: white texture, every view's camera offset by the
     # same (delta_elev, delta_azim) (eval.py:233-236).
@@ -137,18 +152,22 @@ def main():
     # tilts it ~degrees off-true).  The coarse-to-fine anneal resolves
     # both: start coarse, divide sigma/gamma per segment.
     sigma, gamma = args.sigma0, args.gamma0
-    sr, sa = harness.make_smoothers("gaussian", sigma, gamma, 1.0,
-                                    args.samples)
-    settings = pt.RasterizationSettings(
-        image_size=imsize, blur_radius=harness._BLUR_CONST * sigma,
-        faces_per_pixel=args.k, perspective_correct=False)
-    renderer = pt.MeshRenderer.create(
-        rasterizer=pt.MeshRasterizer.create(raster_settings=settings),
-        shader=pt.RandomPhongShader.create(
-            lights=lights,
-            blend_params=pt.BlendParams(sigma=sigma, gamma=gamma,
-                                        background_color=(0.0, 0.0, 0.0)),
-            smoothrast=sr, smoothagg=sa))
+
+    def build_renderer(ims, sig, gam):
+        sr, sa = harness.make_smoothers("gaussian", sig, gam, 1.0,
+                                        args.samples)
+        settings = pt.RasterizationSettings(
+            image_size=ims, blur_radius=harness._BLUR_CONST * sig,
+            faces_per_pixel=args.k, perspective_correct=False)
+        return pt.MeshRenderer.create(
+            rasterizer=pt.MeshRasterizer.create(raster_settings=settings),
+            shader=pt.RandomPhongShader.create(
+                lights=lights,
+                blend_params=pt.BlendParams(sigma=sig, gamma=gam,
+                                            background_color=(0., 0., 0.)),
+                smoothrast=sr, smoothagg=sa))
+
+    renderer = build_renderer(stages[0], sigma, gamma)
 
     t0 = time.time()
     vrgb0 = jnp.ones((1, n_verts, 3))
@@ -175,6 +194,13 @@ def main():
         # each block refits the texture at frozen cameras, then moves the
         # cameras with the texture frozen — clean envelope gradients, no
         # fast/slow tracking lag — annealing sigma/gamma per block.
+        # With a --schedule, the full alternation runs at the COARSEST
+        # size (where the 4-view profiled landscape is measured
+        # convergent), then each finer size runs --refine-blocks blocks
+        # from the coarse solution: the cameras arrive inside the
+        # matched-texture basin, so the fine-scale landscape's spurious
+        # structure (which diverged a cold 256^2 start to ~90 deg,
+        # r3 queue log) is never visited.
         tex_kw = {"camera": False, "textures": True,
                   "vertices": False, "light": False}
         cam_kw = {"camera": True, "textures": False,
@@ -183,53 +209,60 @@ def main():
         best, final = None, None
         sig_b, gam_b = sigma, gamma
         elev_b, azim_b = elev0, azim0
-        total_iters = args.warmup_iters + args.alternate * (
-            args.tex_iters + args.cam_iters)
-        for b in range(args.alternate):
-            if b > 0:
-                sig_b /= args.adapt_sigma
-                gam_b /= args.adapt_gamma
-                renderer = renderer.replace(
-                    rasterizer=renderer.rasterizer.update_blur(
-                        harness._BLUR_CONST * sig_b),
-                    shader=renderer.shader.update_smoothing(
-                        sigma=sig_b, gamma=gam_b))
-            _, ph_t, ls_t = harness.optimize_scene_params(
-                cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
-                renderer, [target],
-                key=jax.random.PRNGKey(args.seed + 101 + b),
-                lr_init=args.lr, Niter=args.tex_iters, adapt_reg=False,
-                segment_size=args.tex_iters, param_to_check=tex_kw,
-                texture_smoothing_weight=args.tex_smooth)
-            vrgb0 = ph_t["verts_rgb"]
-            best_c, ph_c, ls_c = harness.optimize_scene_params(
-                cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
-                renderer, [target],
-                key=jax.random.PRNGKey(args.seed + 201 + b),
-                lr_init=args.lr, Niter=args.cam_iters, adapt_reg=False,
-                segment_size=args.cam_iters, param_to_check=cam_kw,
-                lr_scales={"camera_elev": args.cam_lr_scale,
-                           "camera_azim": args.cam_lr_scale})
-            # Carry the camera-phase BEST iterate (its loss is evaluated
-            # at the frozen profile texture — the profiled objective).
-            elev_b, azim_b = best_c["camera_elev"], best_c["camera_azim"]
-            losses_acc.extend([ls_t, ls_c])
-            print(f"block {b}: sigma={sig_b:.2e} "
-                  f"elev_err={np.abs(np.asarray(elev_b) - np.asarray(true_elev)).max():.2f} "
-                  f"azim_err={np.abs(np.asarray(azim_b) - np.asarray(true_azim)).max():.2f} "
-                  f"loss={float(ls_c[-1]):.5f}", flush=True)
-        # Final texture refit at the converged cameras.
+        total_iters = args.warmup_iters
+        first_block = True
+        for si, ims in enumerate(stages):
+            n_blocks = args.alternate if si == 0 else args.refine_blocks
+            if si > 0:
+                target = harness.get_hard_rendering(
+                    cow_n, cam_true, lights, ims)[..., :3]
+            for b in range(n_blocks):
+                if not first_block:
+                    sig_b /= args.adapt_sigma
+                    gam_b /= args.adapt_gamma
+                first_block = False
+                renderer = build_renderer(ims, sig_b, gam_b)
+                _, ph_t, ls_t = harness.optimize_scene_params(
+                    cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
+                    renderer, [target],
+                    key=jax.random.PRNGKey(args.seed + 101 + 50 * si + b),
+                    lr_init=args.lr, Niter=args.tex_iters, adapt_reg=False,
+                    segment_size=args.tex_iters, param_to_check=tex_kw,
+                    texture_smoothing_weight=args.tex_smooth)
+                vrgb0 = ph_t["verts_rgb"]
+                best_c, ph_c, ls_c = harness.optimize_scene_params(
+                    cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
+                    renderer, [target],
+                    key=jax.random.PRNGKey(args.seed + 201 + 50 * si + b),
+                    lr_init=args.lr, Niter=args.cam_iters, adapt_reg=False,
+                    segment_size=args.cam_iters, param_to_check=cam_kw,
+                    lr_scales={"camera_elev": args.cam_lr_scale,
+                               "camera_azim": args.cam_lr_scale})
+                # Carry the camera-phase BEST iterate (its loss is
+                # evaluated at the frozen profile texture — the profiled
+                # objective).
+                elev_b, azim_b = (best_c["camera_elev"],
+                                  best_c["camera_azim"])
+                losses_acc.extend([ls_t, ls_c])
+                total_iters += args.tex_iters + args.cam_iters
+                print(f"stage {ims} block {b}: sigma={sig_b:.2e} "
+                      f"elev_err={np.abs(np.asarray(elev_b) - np.asarray(true_elev)).max():.2f} "
+                      f"azim_err={np.abs(np.asarray(azim_b) - np.asarray(true_azim)).max():.2f} "
+                      f"loss={float(ls_c[-1]):.5f}", flush=True)
+        # Final texture refit at the converged cameras (finest stage).
+        n_final = args.final_tex_iters or args.tex_iters
         best, final, ls_f = harness.optimize_scene_params(
             cow_n, elev_b, azim_b, lloc, zdef, vrgb0,
             renderer, [target], key=jax.random.PRNGKey(args.seed + 999),
-            lr_init=args.lr, Niter=args.tex_iters, adapt_reg=False,
-            segment_size=args.tex_iters, param_to_check=tex_kw,
+            lr_init=args.lr, Niter=n_final, adapt_reg=False,
+            segment_size=n_final, param_to_check=tex_kw,
             texture_smoothing_weight=args.tex_smooth)
         losses_acc.append(ls_f)
-        total_iters += args.tex_iters
+        total_iters += n_final
         losses = np.concatenate(losses_acc)
         best = dict(best, camera_elev=elev_b, camera_azim=azim_b)
     else:
+        assert len(stages) == 1, "--schedule requires --alternate > 0"
         # Phase 2: joint, slow camera / fast texture, annealed.
         best, final, losses = harness.optimize_scene_params(
             cow_n, elev0, azim0, lloc, zdef, vrgb0,

@@ -319,7 +319,8 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                   adapt_reg=False, adapt_params=(1.1, 1.5),
                   segment_size=50, collect_images=False, imsize=None,
                   artifacts_dir=None, checkpoint_dir=None, resume=False,
-                  max_segments=None, anneal_sample_cap=128):
+                  max_segments=None, anneal_sample_cap=128,
+                  max_dispatch_steps=None):
     """Pose optimization with the reference's schedule
     (`/root/reference/experiments/eval.py:320-409`), restructured as jitted
     ``lax.scan`` segments.
@@ -337,6 +338,17 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     continues the exact trajectory of the uninterrupted run.
     ``max_segments`` stops after that many segments (kill simulation for
     resume tests; the checkpoint is already on disk).
+
+    ``max_dispatch_steps`` bounds how many iterations run in ONE XLA
+    execution: each ``segment_size`` scan is split into sub-dispatches of
+    at most that many steps, with the carry threaded through (trajectory
+    is identical — the per-iteration keys are pre-split per segment).
+    Needed at coarse-sigma x high-poly scale: a single 50-step dispatch at
+    ~1-2 s/step exceeds the device-execution window of relay-attached
+    chips (``UNAVAILABLE: TPU device error`` after ~1 min in one
+    execution), while the same 50 steps as five 10-step dispatches run
+    fine.  Annealing cadence stays ``segment_size`` — the split is purely
+    a dispatch-granularity knob.
     """
     if artifacts_dir is not None:
         collect_images = True
@@ -456,7 +468,7 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
                     pred, cameras, settings, _sh.smoothrast, _sh.smoothagg,
                     lights, _sh.materials, blur_override=blur)
 
-    def run_segment(n_steps, carry, seg_keys):
+    def run_dispatch(n_steps, carry, seg_keys):
         # Annealing changes the MC sample count (a trace-time constant:
         # the sample loops unroll over S) and blur_radius (a *traced*
         # rasterizer leaf since the blur-override change — no recompile).
@@ -476,6 +488,19 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
         if mem is not None:
             peak_memory_mb[0] = max(peak_memory_mb[0] or 0.0, mem)
         return compiled(carry, seg_keys)
+
+    def run_segment(n_steps, carry, seg_keys):
+        d = max_dispatch_steps or n_steps
+        if d >= n_steps:
+            return run_dispatch(n_steps, carry, seg_keys)
+        outs, off = [], 0
+        while off < n_steps:
+            n = min(d, n_steps - off)
+            carry, out = run_dispatch(n, carry, seg_keys[off:off + n])
+            outs.append(out)
+            off += n
+        return carry, tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(2))
 
     start = resumed_from
     segments_run = 0

@@ -134,6 +134,29 @@ def test_pose_opt_kill_and_resume_reproduces_trajectory(tmp_path):
     np.testing.assert_array_equal(resumed.losses, full.losses)
 
 
+def test_pose_opt_dispatch_split_is_trajectory_exact():
+    """``max_dispatch_steps`` splits each segment scan into bounded XLA
+    dispatches (the coarse-sigma config-5 crash fix) without changing the
+    trajectory: per-iteration keys are pre-split per segment, so scanning
+    50 steps in one execution or as 7-step sub-dispatches is the same
+    computation."""
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup(imsize=24)
+    kw = dict(Niter=120, lr_init=3e-2, adapt_reg=True,
+              adapt_params=(1.1, 1.1), key=jax.random.PRNGKey(5))
+    full = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                 renderers[0], target_rgb, **kw)
+    split = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                  renderers[0], target_rgb,
+                                  max_dispatch_steps=7, **kw)
+    np.testing.assert_array_equal(np.asarray(split.log_rot),
+                                  np.asarray(full.log_rot))
+    np.testing.assert_array_equal(np.asarray(split.best_log_rot),
+                                  np.asarray(full.best_log_rot))
+    np.testing.assert_array_equal(split.losses, full.losses)
+    assert split.losses.shape == (120,)
+
+
 def test_scene_params_checkpoint_roundtrip(tmp_path):
     key = jax.random.PRNGKey(2)
     param_to_check = {"camera": False, "vertices": False, "textures": False,

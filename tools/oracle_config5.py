@@ -26,9 +26,17 @@ exact math, not distribution):
      K>800 exhausts device memory).  The streaming route must match this
      rung to float scale; the binned route's error stays
      O(per-tile-slot truncation);
-  2. pose-gradient parity on one strip against the UNTRUNCATED-K oracle
-     (fused loss restricted to the strip by a target equal to the fused
-     render elsewhere; zero L2 residual pixels contribute zero gradient).
+  2. pose-gradient checks, like for like: (a) each mode's fused
+     value-and-grad path against central finite differences of ITS OWN
+     full-image loss (the gradient the optimizer consumes), and (b) each
+     mode's render-kernel gradient of a strip-restricted mean-square
+     against the untruncated staged oracle differentiating the same
+     functional of its own render — both sides own their forward, so the
+     comparison measures gradients, not cross-kernel float rounding
+     amplified by 1/sigma (the retired self-target rung's flaw);
+  3. for the binned opt-in, the real capacity pressure at this density
+     (worst per-tile candidate count vs the slot budget) and the warning
+     the 'warn' policy raises.
 
 Writes artifacts/oracle_config5.json.
 
@@ -212,6 +220,23 @@ def main():
 
     r0_mid = strip_starts[1]
     for name, rr in renderers.items():
+        capacity = None
+        if name == "binned":
+            # Real capacity pressure at this density (VERDICT r4 #7): the
+            # overflow scalars as jittable prepass outputs, plus the
+            # warning a 'warn'-policy run would raise (the 'allow' opt-in
+            # suppresses it by design).
+            from pertrenderer_tpu.ops.fused_render import (
+                capacity_stats, check_capacity_host)
+
+            stats = jax.device_get(jax.jit(lambda rr=rr: capacity_stats(
+                mesh, cameras, rr.rasterizer.raster_settings,
+                rr.shader.smoothrast, rr.shader.smoothagg, lights,
+                rr.shader.materials))())
+            msg = check_capacity_host(settings, stats)  # 'warn' policy
+            print(f"[binned] capacity: {msg}")
+            capacity = {k_: int(v) for k_, v in stats.items()}
+            capacity["warning"] = msg
         t0 = time.time()
         img_fused = np.asarray(jax.jit(lambda m: rr(m, key=key))(mesh))
         t_fused = time.time() - t0
@@ -231,37 +256,71 @@ def main():
                   + ", ".join(f"{r0}: {e:.3e}"
                               for r0, e in errs.items()))
 
-        # Pose-gradient parity on the middle strip against the
-        # UNTRUNCATED oracle: the fused loss sees a target equal to its
-        # own render outside the strip (zero L2 residual pixels
-        # contribute zero gradient), zeros inside it.
-        # Backward residency ~3x the forward's: a single 8-row block.
+        # --- Gradient rungs (r4 verdict #2: like-for-like methodology).
+        # The retired rung restricted the fused loss to the strip via a
+        # self-target built from the RENDER kernel while differentiating
+        # the two-sweep LOSS kernel: their RGB differ by float rounding,
+        # so "zero-residual" pixels carried ~1e-6 residuals that, times
+        # per-pixel render derivatives of order 1/sigma, produced ~3e-2 of
+        # spurious gradient in BOTH modes — methodology noise dressed as
+        # a defect signal.  Two sound rungs replace it:
+        #
+        # (a) FD self-check of the gradient the optimizer actually
+        # consumes: central finite differences of THIS mode's own
+        # full-image loss (zeros target — every pixel carries a real
+        # residual, no restriction trick).  Correctness of the fused
+        # value-and-grad path; tolerance ~5e-2 (f32 loss differencing).
+        log_rot = jnp.zeros((1, 3))
+        zero_target = jnp.zeros((1, imsize, imsize, 3))
+
+        def loss_mode(lr_, rr=rr):
+            return rr.render_loss(rotated(lr_), zero_target, key=key,
+                                  cameras=cameras, lights=lights)
+
+        loss_jit = jax.jit(loss_mode)
+        g_mode = np.asarray(jax.jit(jax.grad(loss_mode))(log_rot))[0]
+        fd_checks = {}
+        for h in (1e-3, 3e-3):
+            fd = np.zeros(3)
+            for i in range(3):
+                e = np.zeros((1, 3))
+                e[0, i] = h
+                fd[i] = (float(loss_jit(log_rot + e))
+                         - float(loss_jit(log_rot - e))) / (2.0 * h)
+            rel_fd = float(np.abs(fd - g_mode).max()
+                           / max(np.abs(g_mode).max(), 1e-12))
+            fd_checks[f"{h:g}"] = {"fd_grad": fd.tolist(),
+                                   "rel_err": rel_fd}
+            print(f"[{name}] pose grad vs central FD (h={h:g}): "
+                  f"analytic={g_mode.tolist()}, fd={fd.tolist()}, "
+                  f"rel err={rel_fd:.3e}")
+
+        # (b) Strip parity vs the untruncated staged oracle, like for
+        # like: BOTH sides differentiate the mean square of THEIR OWN
+        # render restricted to the same rows — no cross-kernel target, no
+        # near-zero residuals.  For the exact stream route this measures
+        # backward parity (the strips' forwards agree to float scale);
+        # for binned it measures the slot-truncation APPROXIMATION.
         rc_g = 8
         settings_g = dataclasses.replace(settings,
                                          faces_per_pixel=k_exact_found)
-        target_full = img_fused[..., :3].copy()
-        target_full[:, r0_mid:r0_mid + rc_g] = 0.0
-        target_full = jnp.asarray(target_full)
 
-        def loss_fused(log_rot, rr=rr):
-            return rr.render_loss(rotated(log_rot), target_full, key=key,
-                                  cameras=cameras, lights=lights)
+        def strip_loss_fused(lr_, rr=rr):
+            img = rr(rotated(lr_), key=key, cameras=cameras, lights=lights)
+            return jnp.mean(img[:, r0_mid:r0_mid + rc_g, :, :3] ** 2)
 
-        def loss_strip(log_rot):
-            frag = rasterize_planar_rows(rotated(log_rot), cameras,
+        def strip_loss_oracle(lr_):
+            frag = rasterize_planar_rows(rotated(lr_), cameras,
                                          settings_g, r0_mid, rc_g)
-            img = shader(frag, rotated(log_rot), key=key, cameras=cameras)
+            img = shader(frag, rotated(lr_), key=key, cameras=cameras)
             return jnp.mean(img[..., :3] ** 2)
 
-        log_rot = jnp.zeros((1, 3))
-        g_fused = np.asarray(jax.jit(jax.grad(loss_fused))(log_rot))
-        g_strip = np.asarray(jax.jit(jax.grad(loss_strip))(log_rot))
-        # mean over H rows vs mean over rc_g rows
-        g_fused_scaled = g_fused * (imsize / rc_g)
-        rel = float(np.abs(g_fused_scaled - g_strip).max() /
+        g_fused = np.asarray(jax.jit(jax.grad(strip_loss_fused))(log_rot))
+        g_strip = np.asarray(jax.jit(jax.grad(strip_loss_oracle))(log_rot))
+        rel = float(np.abs(g_fused - g_strip).max() /
                     max(np.abs(g_strip).max(), 1e-12))
-        print(f"[{name}] pose grad (strip-restricted, oracle "
-              f"K={k_exact_found}): fused*H/rc={g_fused_scaled}, "
+        print(f"[{name}] pose grad strip parity (own-render strip loss, "
+              f"oracle K={k_exact_found}): fused={g_fused}, "
               f"oracle={g_strip}, rel err={rel:.3e}")
 
         # Full loss+grad step rate (scan slope, NOTES.md methodology).
@@ -293,9 +352,11 @@ def main():
 
         rec["modes"][name] = {
             "forward_max_abs_err_by_oracle_k": fwd_errs_by_k,
-            "pose_grad_rel_err": rel,
+            "pose_grad_vs_fd_by_h": fd_checks,
+            "pose_grad_strip_parity_rel_err": rel,
             "step_ms": ms,
             "renders_per_s": 1e3 / ms,
+            "capacity": capacity,
         }
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

@@ -257,7 +257,7 @@ class PoseOptResult:
     images: List[np.ndarray] = field(default_factory=list)
 
 
-def _make_pose_step(mesh, cameras, lights, target, optimizer):
+def _make_pose_step(cameras, lights, optimizer):
     """One fused train step: render -> L2 loss -> grads (pose + smoothing) ->
     explosion guard (`eval.py:374-378`) -> Adam -> best-iterate tracking
     (`eval.py:371-373`).
@@ -266,9 +266,16 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
     pose loop: log_rot (`eval.py:331-332`) and the learnable sigma/gamma/alpha
     (`smoothrast.py:116`, `smoothagg.py:153-154`) — NOT textures/cameras/
     lights, so their backward chains are pruned from the compiled step.
+
+    The mesh and target are ARGUMENTS of the returned step, not closure
+    constants: this backend zero-fills the batched gather of large
+    constant-embedded operands (measured at the 81,920-face scale — a
+    closure-captured face table renders black while the argument-passed
+    identical program is correct; NOTES.md axon quirks), so every jitted
+    program that touches the mesh must receive it as a traced input.
     """
 
-    def loss_fn(log_rot, sigma, gamma, alpha, renderer, keys):
+    def loss_fn(mesh, target, log_rot, sigma, gamma, alpha, renderer, keys):
         renderer = renderer.replace(
             shader=renderer.shader.update_smoothing(sigma=sigma, gamma=gamma,
                                                     alpha=alpha))
@@ -280,15 +287,15 @@ def _make_pose_step(mesh, cameras, lights, target, optimizer):
         return renderer.render_loss(pred, target, key=(keys[0], keys[1]),
                                     cameras=cameras, lights=lights)
 
-    def step(carry, keys):
+    def step(mesh, target, carry, keys):
         # keys: (3, 2) pre-split per-iteration keys (estimator rast/agg +
         # guard noise) — split OUTSIDE the scan; an in-loop threefry split
         # lowers to a scalar while-loop worth ~ms per iteration on TPU.
         (log_rot, opt_state, key, best_loss, best_log_rot, renderer,
          ema) = carry
         sigma, gamma, alpha = renderer.shader.get_smoothing()
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
-            log_rot, jnp.asarray(sigma), jnp.asarray(gamma),
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(2, 3, 4, 5))(
+            mesh, target, log_rot, jnp.asarray(sigma), jnp.asarray(gamma),
             jnp.asarray(alpha), renderer, keys)
         g_pose, g_sigma, g_gamma, g_alpha = grads
         gnorm = jnp.linalg.norm(g_pose)
@@ -459,13 +466,20 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
         if plan0.mode == "binned":
             _sh = diff_renderer.shader
 
+            # The mesh/cameras MUST be jit ARGUMENTS, not closure
+            # constants: this backend zero-fills the batched (vmapped)
+            # gather of large constant-embedded operands (measured: a
+            # nullary jit of vmap(_gather_rows) over an 81,920-face
+            # constant table returns all-zero z columns while the
+            # argument-passed identical program is correct — NOTES.md
+            # axon quirks).
             @jax.jit
-            def cap_probe(log_rot, blur):
+            def cap_probe(mesh_, cameras_, log_rot, blur):
                 rot = so3_exp_map(log_rot)
-                pred = mesh.update_padded(
-                    Rotate(rot).transform_points(mesh.verts_padded()))
+                pred = mesh_.update_padded(
+                    Rotate(rot).transform_points(mesh_.verts_padded()))
                 return _fr.capacity_stats(
-                    pred, cameras, settings, _sh.smoothrast, _sh.smoothagg,
+                    pred, cameras_, settings, _sh.smoothrast, _sh.smoothagg,
                     lights, _sh.materials, blur_override=blur)
 
     def run_dispatch(n_steps, carry, seg_keys):
@@ -478,16 +492,21 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
             from pertrenderer_tpu.utils.artifacts import (
                 compiled_peak_memory_mb)
 
-            step = _make_pose_step(mesh, cameras, lights, target, opt)
+            step = _make_pose_step(cameras, lights, opt)
+            # mesh/target are runtime ARGUMENTS of the compiled scan (the
+            # closure-constant form zero-fills large gathers on this
+            # backend — see _make_pose_step).
             jitted = jax.jit(
-                lambda c, xs: jax.lax.scan(step, c, xs, length=n_steps))
-            compiled = jitted.lower(carry, seg_keys).compile()
+                lambda c, xs, m, tgt: jax.lax.scan(
+                    lambda cc, kk: step(m, tgt, cc, kk), c, xs,
+                    length=n_steps))
+            compiled = jitted.lower(carry, seg_keys, mesh, target).compile()
             scan_fn_cache[sig] = (compiled,
                                   compiled_peak_memory_mb(compiled))
         compiled, mem = scan_fn_cache[sig]
         if mem is not None:
             peak_memory_mb[0] = max(peak_memory_mb[0] or 0.0, mem)
-        return compiled(carry, seg_keys)
+        return compiled(carry, seg_keys, mesh, target)
 
     def run_segment(n_steps, carry, seg_keys):
         d = max_dispatch_steps or n_steps
@@ -529,8 +548,8 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
             from pertrenderer_tpu.ops import fused_render as _fr
 
             stats = jax.device_get(cap_probe(
-                log_rot, jnp.asarray(renderer.rasterizer.blur,
-                                     jnp.float32)))
+                mesh, cameras, log_rot,
+                jnp.asarray(renderer.rasterizer.blur, jnp.float32)))
             _fr.check_capacity_host(settings, stats)
         if collect_images:
             rot = so3_exp_map(log_rot)
@@ -641,7 +660,10 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
 
     n_views = int(np.size(np.asarray(camera_elev_init)))
 
-    def loss_fn(params, renderer, key):
+    # base_mesh/target are ARGUMENTS of the jitted step, not closure
+    # constants (the closure form zero-fills large gathers on this
+    # backend — see _make_pose_step).
+    def loss_fn(base_mesh, target, params, renderer, key):
         lights = pt.PointLights.create(location=params["lights_location"],
                                        batch=n_views)
         r, t = pt.look_at_view_transform(dist=6.7, elev=params["camera_elev"],
@@ -694,11 +716,12 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
     renderer = diff_renderer
 
     def make_step(opt):
-        def step(carry, _):
+        def step(base_mesh, target, carry, _):
             params, opt_state, key, best_loss, best_params, renderer = carry
             key, sub = jax.random.split(key)
             (total, (loss_rgb, loss_lap)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, renderer, sub)
+                loss_fn, argnums=2, has_aux=True)(base_mesh, target, params,
+                                                  renderer, sub)
             grads = {k: jnp.where(jnp.isfinite(g), g, 0.0)
                      for k, g in grads.items()}
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -780,9 +803,11 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         if sig not in scan_cache:
             step = make_step(opt)
             scan_cache[sig] = jax.jit(
-                lambda c, s=step, n=n_steps: jax.lax.scan(s, c, None, length=n))
+                lambda c, m, tgt, s=step, n=n_steps: jax.lax.scan(
+                    lambda cc, xx: s(m, tgt, cc, xx), c, None, length=n))
         carry = (params, opt_state, key, best_loss, best_params, renderer)
-        carry, (seg_total, seg_rgb, seg_lap) = scan_cache[sig](carry)
+        carry, (seg_total, seg_rgb, seg_lap) = scan_cache[sig](
+            carry, base_mesh, target)
         params, opt_state, key, best_loss, best_params, renderer = carry
         losses.append(np.asarray(seg_total))
         start = end

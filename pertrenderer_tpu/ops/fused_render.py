@@ -3762,6 +3762,7 @@ def capacity_stats(meshes, cameras, settings, smoothrast=None,
                     smoothagg, settings, shade, assume_available=True)
     if cfg is None or not cfg.binned:
         return None
+    _warn_closure_constants(meshes)
     blur = jnp.asarray(settings.blur_radius if blur_override is None
                        else blur_override, jnp.float32)
     f = meshes.max_faces
@@ -3847,6 +3848,33 @@ def check_capacity_host(settings, stats) -> Optional[str]:
     return msg
 
 
+def _warn_closure_constants(meshes):
+    """Footgun guard for this backend: a jitted program whose mesh tables
+    are CLOSURE CONSTANTS (rather than traced arguments) zero-fills their
+    batched gathers at scale — measured: a closure-captured 81,920-face
+    mesh renders ALL-BLACK through the fused path while the argument-passed
+    identical program matches the staged oracle to 6.6e-7 (2026-08-20,
+    NOTES.md axon quirks).  Detect the hazard at trace time: we are inside
+    a trace (some renderer input is a tracer) but a large mesh table is a
+    concrete constant."""
+    import warnings
+
+    leaves = jax.tree.leaves(meshes)
+    if not any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return                      # eager call: arguments trace correctly
+    big = [x for x in leaves
+           if not isinstance(x, jax.core.Tracer)
+           and getattr(x, "size", 0) >= 4096 * 3]
+    if big:
+        warnings.warn(
+            "pertrenderer_tpu: a large mesh table (%d elements) is "
+            "closure-captured inside jit; this backend zero-fills gathers "
+            "of large constant-embedded operands, silently corrupting the "
+            "render.  Pass the mesh through the jitted function's "
+            "arguments instead." % max(x.size for x in big),
+            RuntimeWarning, stacklevel=3)
+
+
 def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
                blend_params, settings, key, shade: str,
                blur_override=None):
@@ -3856,6 +3884,7 @@ def try_render(meshes, cameras, lights, materials, smoothrast, smoothagg,
                 settings, shade)
     if cfg is None:
         return None
+    _warn_closure_constants(meshes)
     sample_axis = (getattr(smoothrast, "sample_axis", None)
                    or getattr(smoothagg, "sample_axis", None))
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
@@ -3904,6 +3933,7 @@ def try_render_loss(meshes, cameras, lights, materials, smoothrast,
         # Sharded: render via the forward+backward kernels and reduce the
         # image loss in XLA (the caller falls back to that).
         return None
+    _warn_closure_constants(meshes)
     inputs = _prepare_inputs(cfg, meshes, cameras, lights, materials,
                              smoothrast, smoothagg, blend_params, settings,
                              key, shade, blur_override=blur_override)

@@ -80,14 +80,18 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
     regularization signal of `/root/reference/experiments/eval.py:382-394`
     computed collectively.
     """
-    def per_problem_loss(log_rot, renderer, target, key):
+    # scene_mesh is threaded through the jitted step's ARGUMENTS (replicated
+    # spec), never closure-captured: this backend zero-fills batched gathers
+    # of large constant-embedded tables (NOTES.md round-5 quirk), so a
+    # closure-constant mesh silently corrupts the render at scale.
+    def per_problem_loss(scene_mesh, log_rot, renderer, target, key):
         rot = so3_exp_map(log_rot[None])
         pred = scene_mesh.update_padded(
             Rotate(rot).transform_points(scene_mesh.verts_padded()))
         images = renderer(pred, key=key, cameras=cameras, lights=lights)
         return jnp.mean((images[..., :3] - target[None]) ** 2)
 
-    def local_step(log_rot, opt_state, targets, keys, renderer):
+    def local_step(scene_mesh, log_rot, opt_state, targets, keys, renderer):
         # log_rot: (B_local, 3); targets: (B_local, H, W, 3); keys (B_local, 2)
         def batch_loss(log_rot, renderer):
             if batch_via == "map":
@@ -95,12 +99,13 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
                 # memory space) tables that cannot be vmapped over; the
                 # local batch runs sequentially instead.
                 losses = jax.lax.map(
-                    lambda e: per_problem_loss(e[0], renderer, e[1], e[2]),
+                    lambda e: per_problem_loss(scene_mesh, e[0], renderer,
+                                               e[1], e[2]),
                     (log_rot, targets, keys))
             else:
                 losses = jax.vmap(
-                    per_problem_loss, in_axes=(0, None, 0, 0)
-                )(log_rot, renderer, targets, keys)
+                    per_problem_loss, in_axes=(None, 0, None, 0, 0)
+                )(scene_mesh, log_rot, renderer, targets, keys)
             return jnp.mean(losses), losses
 
         (mean_loss, losses), grads = jax.value_and_grad(
@@ -133,11 +138,17 @@ def make_sharded_pose_step(mesh: Mesh, scene_mesh, cameras, lights,
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(batch_spec, opt_specs, batch_spec, batch_spec, P()),
+        in_specs=(P(), batch_spec, opt_specs, batch_spec, batch_spec, P()),
         out_specs=(batch_spec, opt_specs, batch_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(log_rot, opt_state, targets, keys, renderer):
+        return jitted(scene_mesh, log_rot, opt_state, targets, keys,
+                      renderer)
+
+    return step
 
 
 def dryrun_multichip(n_devices: int, image_size: int = 16,

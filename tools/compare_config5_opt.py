@@ -184,9 +184,13 @@ def main():
             from pertrenderer_tpu.ops.fused_render import (
                 capacity_stats, check_capacity_host)
 
-            stats = jax.device_get(jax.jit(lambda: capacity_stats(
-                mesh, cameras, st, rr.shader.smoothrast, rr.shader.smoothagg,
-                lights, rr.shader.materials))())
+            # mesh/cameras as jit ARGUMENTS — this backend zero-fills the
+            # vmapped gather of large constant-embedded operands (NOTES.md
+            # axon quirks), so a nullary closure reports zero candidates.
+            stats = jax.device_get(jax.jit(
+                lambda m, c: capacity_stats(
+                    m, c, st, rr.shader.smoothrast, rr.shader.smoothagg,
+                    lights, rr.shader.materials))(mesh, cameras))
             msg = check_capacity_host(settings, stats)  # 'warn' policy
             print(f"[binned] capacity: {msg}", file=sys.stderr)
             capacity = {k: int(v) for k, v in stats.items()}

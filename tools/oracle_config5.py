@@ -200,11 +200,17 @@ def main():
     assert not ladder_info[-1]["saturated"], \
         "count pass under-estimated the exact rung's K"
 
-    base_verts = mesh.verts_padded()
-
-    def rotated(log_rot):
+    # The mesh is an ARGUMENT of every jitted rung below, never a closure
+    # constant: this backend zero-fills the batched gather of large
+    # constant-embedded tables (measured: a closure-captured 81,920-face
+    # mesh renders ALL-BLACK through the fused path while the
+    # argument-passed identical program matches the staged oracle to
+    # 6.6e-7 — NOTES.md axon quirks).  The retired rungs closed over the
+    # mesh and therefore measured gradients of a corrupted render.
+    def rotated(m, log_rot):
         rot = so3_exp_map(log_rot)
-        return mesh.update_padded(Rotate(rot).transform_points(base_verts))
+        return m.update_padded(Rotate(rot).transform_points(
+            m.verts_padded()))
 
     rec = {
         "config": f"BASELINE config 5 oracle: icosphere level {args.level} "
@@ -229,10 +235,14 @@ def main():
             from pertrenderer_tpu.ops.fused_render import (
                 capacity_stats, check_capacity_host)
 
-            stats = jax.device_get(jax.jit(lambda rr=rr: capacity_stats(
-                mesh, cameras, rr.rasterizer.raster_settings,
-                rr.shader.smoothrast, rr.shader.smoothagg, lights,
-                rr.shader.materials))())
+            # mesh/cameras as jit ARGUMENTS — this backend zero-fills the
+            # vmapped gather of large constant-embedded operands (NOTES.md
+            # axon quirks), so a nullary closure reports zero candidates.
+            stats = jax.device_get(jax.jit(
+                lambda m, c, rr=rr: capacity_stats(
+                    m, c, rr.rasterizer.raster_settings,
+                    rr.shader.smoothrast, rr.shader.smoothagg, lights,
+                    rr.shader.materials))(mesh, cameras))
             msg = check_capacity_host(settings, stats)  # 'warn' policy
             print(f"[binned] capacity: {msg}")
             capacity = {k_: int(v) for k_, v in stats.items()}
@@ -273,20 +283,21 @@ def main():
         log_rot = jnp.zeros((1, 3))
         zero_target = jnp.zeros((1, imsize, imsize, 3))
 
-        def loss_mode(lr_, rr=rr):
-            return rr.render_loss(rotated(lr_), zero_target, key=key,
+        def loss_mode(m, lr_, rr=rr):
+            return rr.render_loss(rotated(m, lr_), zero_target, key=key,
                                   cameras=cameras, lights=lights)
 
         loss_jit = jax.jit(loss_mode)
-        g_mode = np.asarray(jax.jit(jax.grad(loss_mode))(log_rot))[0]
+        g_mode = np.asarray(jax.jit(jax.grad(loss_mode, argnums=1))(
+            mesh, log_rot))[0]
         fd_checks = {}
         for h in (1e-3, 3e-3):
             fd = np.zeros(3)
             for i in range(3):
                 e = np.zeros((1, 3))
                 e[0, i] = h
-                fd[i] = (float(loss_jit(log_rot + e))
-                         - float(loss_jit(log_rot - e))) / (2.0 * h)
+                fd[i] = (float(loss_jit(mesh, log_rot + e))
+                         - float(loss_jit(mesh, log_rot - e))) / (2.0 * h)
             rel_fd = float(np.abs(fd - g_mode).max()
                            / max(np.abs(g_mode).max(), 1e-12))
             fd_checks[f"{h:g}"] = {"fd_grad": fd.tolist(),
@@ -305,18 +316,22 @@ def main():
         settings_g = dataclasses.replace(settings,
                                          faces_per_pixel=k_exact_found)
 
-        def strip_loss_fused(lr_, rr=rr):
-            img = rr(rotated(lr_), key=key, cameras=cameras, lights=lights)
+        def strip_loss_fused(m, lr_, rr=rr):
+            img = rr(rotated(m, lr_), key=key, cameras=cameras,
+                     lights=lights)
             return jnp.mean(img[:, r0_mid:r0_mid + rc_g, :, :3] ** 2)
 
-        def strip_loss_oracle(lr_):
-            frag = rasterize_planar_rows(rotated(lr_), cameras,
-                                         settings_g, r0_mid, rc_g)
-            img = shader(frag, rotated(lr_), key=key, cameras=cameras)
+        def strip_loss_oracle(m, lr_):
+            pred = rotated(m, lr_)
+            frag = rasterize_planar_rows(pred, cameras, settings_g,
+                                         r0_mid, rc_g)
+            img = shader(frag, pred, key=key, cameras=cameras)
             return jnp.mean(img[..., :3] ** 2)
 
-        g_fused = np.asarray(jax.jit(jax.grad(strip_loss_fused))(log_rot))
-        g_strip = np.asarray(jax.jit(jax.grad(strip_loss_oracle))(log_rot))
+        g_fused = np.asarray(jax.jit(jax.grad(strip_loss_fused, argnums=1))(
+            mesh, log_rot))
+        g_strip = np.asarray(jax.jit(jax.grad(strip_loss_oracle, argnums=1))(
+            mesh, log_rot))
         rel = float(np.abs(g_fused - g_strip).max() /
                     max(np.abs(g_strip).max(), 1e-12))
         print(f"[{name}] pose grad strip parity (own-render strip loss, "
@@ -328,10 +343,10 @@ def main():
             zero_t = jnp.zeros((1, imsize, imsize, 3))
 
             @jax.jit
-            def run(log_rot):
+            def run(m, log_rot):
                 def body(lr, _):
                     loss, g = jax.value_and_grad(
-                        lambda a: rr.render_loss(rotated(a), zero_t,
+                        lambda a: rr.render_loss(rotated(m, a), zero_t,
                                                  key=key, cameras=cameras,
                                                  lights=lights))(lr)
                     return lr - 1e-6 * g, loss
@@ -342,9 +357,9 @@ def main():
         times = {}
         for n in (2, 6):
             run = make(n)
-            _ = float(run(log_rot))
+            _ = float(run(mesh, log_rot))
             t0 = time.time()
-            _ = float(run(log_rot))
+            _ = float(run(mesh, log_rot))
             times[n] = time.time() - t0
         ms = (times[6] - times[2]) / 4 * 1e3
         print(f"[{name}] loss+grad step: {ms:.1f} ms ({1e3 / ms:.2f} "

@@ -26,14 +26,21 @@ exact math, not distribution):
      K>800 exhausts device memory).  The streaming route must match this
      rung to float scale; the binned route's error stays
      O(per-tile-slot truncation);
-  2. pose-gradient checks, like for like: (a) each mode's fused
-     value-and-grad path against central finite differences of ITS OWN
-     full-image loss (the gradient the optimizer consumes), and (b) each
-     mode's render-kernel gradient of a strip-restricted mean-square
-     against the untruncated staged oracle differentiating the same
-     functional of its own render — both sides own their forward, so the
-     comparison measures gradients, not cross-kernel float rounding
-     amplified by 1/sigma (the retired self-target rung's flaw);
+  2. pose-gradient checks, like for like: (a1) DUAL-PATH parity — the
+     one-kernel value-and-grad path (what the optimizer consumes) against
+     the two-kernel render-fwd+bwd path with the L2 reduced in XLA, two
+     independent implementations of the same derivative at full scale
+     against an offset-pose self-target; (a2) central FD of the same
+     loss as a sanity row (NOT a float oracle: at sigma=1e-3 part of the
+     image motion is discrete candidate-set/z-order flips that no soft
+     rasterizer differentiates — the reference's top-K CUDA path
+     included — so expect ~0.1 l2 gap with cosine ~1 at this density);
+     and (b) each mode's render-kernel gradient of a strip-restricted
+     mean-square against the untruncated staged oracle differentiating
+     the same functional of its own render — both sides own their
+     forward, so the comparison measures gradients, not cross-kernel
+     float rounding amplified by 1/sigma (the retired self-target rung's
+     flaw);
   3. for the binned opt-in, the real capacity pressure at this density
      (worst per-tile candidate count vs the slot budget) and the warning
      the 'warn' policy raises.
@@ -275,51 +282,69 @@ def main():
         # spurious gradient in BOTH modes — methodology noise dressed as
         # a defect signal.  Two sound rungs replace it:
         #
-        # (a) FD self-check of the gradient the optimizer actually
-        # consumes: central finite differences of THIS mode's own
-        # full-image loss (zeros target — every pixel carries a real
-        # residual, no restriction trick).  Semantics: the analytic
-        # gradient is the variance-reduced score-function estimate of the
-        # SMOOTHED objective's gradient; FD differentiates the fixed-key
-        # MC objective itself — they agree up to the S=8 estimator
-        # mismatch plus FD curvature, so the sound metric is the 2-norm
-        # relative error of the RICHARDSON-extrapolated FD (the h^2
-        # curvature term cancels between h and h/3; a max-abs metric on
-        # the smallest component — 10x below the others on this scene —
-        # reads pure curvature noise as error).
+        # (a1) Dual-path full-image gradient parity: the ONE-KERNEL
+        # value-and-grad path (render_loss — the two-sweep streaming loss
+        # kernel, what the optimizer consumes) against the TWO-KERNEL
+        # path (render fwd+bwd kernels with the L2 reduced in XLA).
+        # Independent implementations of the same derivative at full
+        # config-5 scale; target = this mode's own render at an offset
+        # pose (a well-conditioned pose-restoring residual — against a
+        # zeros target this near-octahedrally-symmetric |v| texture
+        # suppresses the gradient ~30x below optimization scale).
+        offset = jnp.asarray([[0.02, -0.015, 0.01]])   # ~1.5 deg
         log_rot = jnp.zeros((1, 3))
-        zero_target = jnp.zeros((1, imsize, imsize, 3))
 
-        def loss_mode(m, lr_, rr=rr):
-            return rr.render_loss(rotated(m, lr_), zero_target, key=key,
+        def render_mode(m, lr_, rr=rr):
+            return rr(rotated(m, lr_), key=key, cameras=cameras,
+                      lights=lights)[..., :3]
+
+        target_fd = jax.jit(render_mode)(mesh, offset)
+
+        def loss_one(m, tgt, lr_, rr=rr):
+            return rr.render_loss(rotated(m, lr_), tgt, key=key,
                                   cameras=cameras, lights=lights)
 
-        loss_jit = jax.jit(loss_mode)
-        g_mode = np.asarray(jax.jit(jax.grad(loss_mode, argnums=1))(
-            mesh, log_rot))[0]
+        def loss_two(m, tgt, lr_):
+            return jnp.mean((render_mode(m, lr_) - tgt) ** 2)
+
+        loss_jit = jax.jit(loss_one)
+        g_mode = np.asarray(jax.jit(jax.grad(loss_one, argnums=2))(
+            mesh, target_fd, log_rot))[0]
+        g_two = np.asarray(jax.jit(jax.grad(loss_two, argnums=2))(
+            mesh, target_fd, log_rot))[0]
         g_norm = max(float(np.linalg.norm(g_mode)), 1e-12)
-        fd_checks = {}
-        fd_by_h = {}
-        for h in (1e-3, 3e-3):
+        rel_dual = float(np.linalg.norm(g_two - g_mode) / g_norm)
+        print(f"[{name}] pose grad dual-path parity (one-kernel loss+grad "
+              f"vs two-kernel render+XLA loss): one={g_mode.tolist()}, "
+              f"two={g_two.tolist()}, rel err={rel_dual:.3e}")
+
+        # (a2) FD sanity of the same loss.  NOT a float-tolerance oracle:
+        # at sigma=1e-3 the rendered image also moves through DISCRETE
+        # candidate-set / z-order flips that no soft rasterizer
+        # differentiates (the reference's top-K CUDA path has the same
+        # semantics — it is why sigma-annealing exists).  Measured on a
+        # probe scene, FD->analytic converges as the band grows past the
+        # face scale (sigma 1e-3/6e-3/2e-2: cos 0.42/-0.03/0.99).  At
+        # config-5 density the band spans ~15 face widths, so the smooth
+        # component dominates: expect ~0.1 l2 gap, cosine ~1 — recorded
+        # as evidence the gradient points where the loss descends.
+        fd_checks = {"dual_path_rel_err": rel_dual}
+        for h in (3e-3, 1e-2):
             fd = np.zeros(3)
             for i in range(3):
                 e = np.zeros((1, 3))
                 e[0, i] = h
-                fd[i] = (float(loss_jit(mesh, log_rot + e))
-                         - float(loss_jit(mesh, log_rot - e))) / (2.0 * h)
-            fd_by_h[h] = fd
+                fd[i] = (float(loss_jit(mesh, target_fd, log_rot + e))
+                         - float(loss_jit(mesh, target_fd,
+                                          log_rot - e))) / (2.0 * h)
             rel_fd = float(np.linalg.norm(fd - g_mode) / g_norm)
+            cos = float(np.dot(fd, g_mode)
+                        / max(np.linalg.norm(fd) * g_norm, 1e-24))
             fd_checks[f"{h:g}"] = {"fd_grad": fd.tolist(),
-                                   "rel_err_l2": rel_fd}
-            print(f"[{name}] pose grad vs central FD (h={h:g}): "
-                  f"analytic={g_mode.tolist()}, fd={fd.tolist()}, "
-                  f"l2 rel err={rel_fd:.3e}")
-        fd_rich = (9.0 * fd_by_h[1e-3] - fd_by_h[3e-3]) / 8.0
-        rel_rich = float(np.linalg.norm(fd_rich - g_mode) / g_norm)
-        fd_checks["richardson"] = {"fd_grad": fd_rich.tolist(),
-                                   "rel_err_l2": rel_rich}
-        print(f"[{name}] pose grad vs Richardson FD: fd={fd_rich.tolist()},"
-              f" l2 rel err={rel_rich:.3e}")
+                                   "rel_err_l2": rel_fd, "cosine": cos}
+            print(f"[{name}] pose grad vs central FD (h={h:g}, offset-pose "
+                  f"target): analytic={g_mode.tolist()}, fd={fd.tolist()}, "
+                  f"l2 rel err={rel_fd:.3e}, cos={cos:.4f}")
 
         # (b) Strip parity vs the untruncated staged oracle, like for
         # like: BOTH sides differentiate the mean square of THEIR OWN
@@ -382,6 +407,7 @@ def main():
 
         rec["modes"][name] = {
             "forward_max_abs_err_by_oracle_k": fwd_errs_by_k,
+            "pose_grad_dual_path_rel_err": rel_dual,
             "pose_grad_vs_fd_by_h": fd_checks,
             "pose_grad_strip_parity_rel_err": rel,
             "step_ms": ms,

@@ -366,7 +366,13 @@ def optimize_pose(mesh, cameras, lights, init_pose, diff_renderer, target_rgb,
     cameras = cameras[0] if isinstance(cameras, (list, tuple)) else cameras
 
     lr = lr_init
-    renderer = diff_renderer
+    # Pin the carry's pytree STRUCTURE before the first compile: annealing
+    # swaps blur_override None -> traced leaf (update_blur), and the
+    # compiled-scan cache keys only on (length, S) — a structure change
+    # mid-run would miss the AOT-compiled signature (pytree TypeError).
+    renderer = diff_renderer.replace(
+        rasterizer=diff_renderer.rasterizer.update_blur(
+            diff_renderer.rasterizer.blur))
 
     # The learning rate lives in the optimizer *state* (inject_hyperparams)
     # so annealing's lr decay (`eval.py:393`) re-inits state without
@@ -713,7 +719,11 @@ def optimize_scene_params(base_mesh, camera_elev_init, camera_azim_init,
         return state
 
     opt_state = init_opt_state(lr)
-    renderer = diff_renderer
+    # Same structure pin as optimize_pose: annealing's update_blur must not
+    # change the carry pytree (None -> leaf) under a cached compiled scan.
+    renderer = diff_renderer.replace(
+        rasterizer=diff_renderer.rasterizer.update_blur(
+            diff_renderer.rasterizer.blur))
 
     def make_step(opt):
         def step(base_mesh, target, carry, _):

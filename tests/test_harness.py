@@ -50,6 +50,27 @@ def test_pose_opt_annealing_runs():
     assert np.isfinite(res.losses).all()
 
 
+def test_pose_opt_annealing_at_sample_cap_reuses_compiled_scan():
+    """Annealing with nb_samples already at the cap must not change the
+    carry pytree under the compiled-scan cache.
+
+    update_blur swaps blur_override None -> traced leaf; when the sample
+    count stays fixed the (length, S) cache key is unchanged, so the
+    AOT-compiled segment is reused with the post-anneal carry — a pytree
+    structure mismatch (TypeError) unless the structure was pinned at
+    entry.  This is exactly the config-5 tool's configuration
+    (anneal_sample_cap == S), which crashed on chip before the pin."""
+    meshes, cameras, lights, target_rgb, r_true, log_rot_init, renderers = \
+        _setup()
+    res = harness.optimize_pose(meshes, cameras, lights, log_rot_init,
+                                renderers[0], target_rgb, Niter=200,
+                                lr_init=3e-2, adapt_reg=True,
+                                adapt_params=(1.2, 1.2),
+                                anneal_sample_cap=4)
+    assert res.losses.shape == (200,)
+    assert np.isfinite(res.losses).all()
+
+
 def test_renderer_bank_all_noise_types():
     noise = ("cauchy", "gaussian", "gaussian_wovr", "uniform", "hard",
              "softras")

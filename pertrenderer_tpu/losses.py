@@ -45,7 +45,14 @@ def vertex_feature_laplacian(meshes, features: jnp.ndarray) -> jnp.ndarray:
                               num_segments=v_count)
     deg = jax.ops.segment_sum(w, src, num_segments=v_count)
     lap = acc / jnp.maximum(deg, 1.0)[:, None] - features
-    norm = jnp.linalg.norm(lap, axis=-1)
+    # Guarded norm: sqrt has a 0/0 NaN gradient at exactly-zero residuals,
+    # and a CONSTANT field (the loop's white texture init) hits it at every
+    # vertex — the NaN then poisons the whole parameter gradient, the
+    # optimizer's isfinite guard zeroes it, and the texture never leaves
+    # its init.  Double-where gives the exact subgradient 0 at lap == 0.
+    sq = jnp.sum(lap * lap, axis=-1)
+    pos = sq > 0.0
+    norm = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
     valid = (deg > 0).astype(norm.dtype)
     return jnp.sum(norm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 

@@ -174,3 +174,12 @@ def test_vertex_feature_laplacian():
     g = jax.grad(lambda f: vertex_feature_laplacian(mesh, f))(noisy)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+    # At a binary-exact constant field (the scene loop's WHITE texture
+    # init: 1.0) every residual is exactly 0 and sqrt's backward is 0/0 —
+    # the gradient must be the exact subgradient 0, not NaN (a NaN here
+    # froze the white init: the optimizer's isfinite guard zeroed the
+    # WHOLE parameter gradient every step, so the texture never moved).
+    white = jnp.ones((mesh.max_verts, 3))
+    g0 = jax.grad(lambda f: vertex_feature_laplacian(mesh, f))(white)
+    assert np.isfinite(np.asarray(g0)).all()
+    np.testing.assert_allclose(np.asarray(g0), 0.0, atol=0.0)

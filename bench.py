@@ -246,16 +246,22 @@ def main():
     make = build_scan()
     x0 = jnp.zeros((1, 3))
     k0 = jax.random.PRNGKey(0)
-    n1, n2 = 5, 105
+    # 400-step slope: the relay's per-dispatch round-trip jitters by a few
+    # ms, so short scans (the old 5/105) put ±8% of noise on the slope;
+    # 55/455 keeps the delta ~100 ms of device time (measured 2026-08-21:
+    # back-to-back 400-step slopes on identical code agree to ~±7%, the
+    # residual being real chip-session drift, not measurement noise).
+    n1, n2 = 55, 455
     times = {}
     for n in (n1, n2):
         run = make(n)
         t0 = time.time()
         _ = float(run(x0, k0))  # compile + first run
         print(f"compile+run n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
-        t0 = time.time(); _ = float(run(x0, k0)); t1 = time.time()
-        _ = float(run(x0, k0)); t2 = time.time()
-        times[n] = min(t1 - t0, t2 - t1)
+        ts = []
+        for _ in range(3):
+            t0 = time.time(); _ = float(run(x0, k0)); ts.append(time.time() - t0)
+        times[n] = min(ts)
     per_iter = (times[n2] - times[n1]) / (n2 - n1)
     renders_per_sec = 1.0 / max(per_iter, 1e-9)
 
